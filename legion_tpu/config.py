@@ -1,0 +1,235 @@
+"""Unified typed configuration.
+
+Replaces the reference's three config layers — argparse launchers
+(legion_server.py:114-125), the positional one-line ``meta_config`` text file
+(legion_server.py:94-95 / storage_management.cu:29-98), and compile-time
+constants (system_config.cuh:34-57) — with one set of dataclasses.
+
+``DatasetMeta.to_meta_config`` / ``from_meta_config`` keep file-level
+compatibility with the reference's in-memory-mode meta_config line:
+    path batch |V| |E| feat_dim train valid test cache_bytes epochs
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+# Known dataset shapes, mirroring the tables hardcoded in the reference's
+# legion_server.py:41-91 / graph_partitioning.py:52-102 / gen_sets.py:9-59
+# (deduplicated here into one place).
+KNOWN_DATASETS = {
+    "products": dict(num_nodes=2_449_029, num_edges=123_718_280, feature_dim=100,
+                     num_classes=47, train_size=196_615, valid_size=39_323,
+                     test_size=2_213_091),
+    "paper100m": dict(num_nodes=111_059_956, num_edges=1_615_685_872,
+                      feature_dim=128, num_classes=172, train_size=11_105_995,
+                      valid_size=100_000, test_size=100_000),
+    "com-friendster": dict(num_nodes=65_608_366, num_edges=1_806_067_135,
+                           feature_dim=256, num_classes=100,
+                           train_size=6_560_836, valid_size=100_000,
+                           test_size=100_000),
+    "ukunion": dict(num_nodes=133_633_040, num_edges=5_507_679_822,
+                    feature_dim=256, num_classes=2, train_size=13_363_304,
+                    valid_size=100_000, test_size=100_000),
+    "uk2014": dict(num_nodes=787_801_471, num_edges=47_214_874_822,
+                   feature_dim=128, num_classes=2, train_size=78_780_147,
+                   valid_size=100_000, test_size=100_000),
+    "clueweb": dict(num_nodes=955_207_488, num_edges=42_574_107_469,
+                    feature_dim=128, num_classes=2, train_size=95_520_748,
+                    valid_size=100_000, test_size=100_000),
+}
+
+
+@dataclass(frozen=True)
+class DatasetMeta:
+    """Dataset description (reference: meta_config + legion_server.py tables)."""
+
+    path: str
+    batch_size: int
+    num_nodes: int
+    num_edges: int
+    feature_dim: int
+    train_size: int
+    valid_size: int
+    test_size: int
+    cache_bytes: int = 0
+    epochs: int = 1
+    num_classes: int = 2
+    name: str = "custom"
+    partition_count: int = 1
+
+    @classmethod
+    def known(cls, name: str, path: str, batch_size: int = 8000,
+              cache_bytes: int = 0, epochs: int = 1,
+              partition_count: int = 1) -> "DatasetMeta":
+        if name not in KNOWN_DATASETS:
+            raise ValueError(
+                f"unknown dataset {name!r}; known: {sorted(KNOWN_DATASETS)}")
+        d = KNOWN_DATASETS[name]
+        return cls(path=path, batch_size=batch_size, cache_bytes=cache_bytes,
+                   epochs=epochs, name=name, partition_count=partition_count,
+                   **d)
+
+    def to_meta_config(self, file_path: str = "meta_config") -> None:
+        """Write the reference-compatible one-line meta_config file."""
+        line = "{} {} {} {} {} {} {} {} {} {}".format(
+            self.path, self.batch_size, self.num_nodes, self.num_edges,
+            self.feature_dim, self.train_size, self.valid_size,
+            self.test_size, self.cache_bytes, self.epochs)
+        with open(file_path, "w") as f:
+            f.write(line)
+
+    @classmethod
+    def from_meta_config(cls, file_path: str = "meta_config") -> "DatasetMeta":
+        """Parse the reference's meta_config (storage_management.cu:29-63)."""
+        with open(file_path) as f:
+            parts = f.readline().split()
+        (path, batch, v, e, fd, tr, va, te, cb, ep) = parts[:10]
+        return cls(path=path, batch_size=int(batch), num_nodes=int(v),
+                   num_edges=int(e), feature_dim=int(fd), train_size=int(tr),
+                   valid_size=int(va), test_size=int(te), cache_bytes=int(cb),
+                   epochs=int(ep))
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Multi-hop fanout sampling (reference: main.cu:9-11 hardcoded [25,10])."""
+
+    fanouts: Tuple[int, ...] = (25, 10)
+    batch_size: int = 8000
+    # validation/test batches use 512 seeds per step like the reference
+    # (ipc_service.cu:91-115)
+    eval_batch_size: int = 512
+
+    @property
+    def num_hops(self) -> int:
+        return len(self.fanouts)
+
+    def frontier_sizes(self) -> Tuple[int, ...]:
+        """Static max frontier size per hop: f_k = batch * prod(fanouts[:k]).
+
+        Mirrors the worst-case id-buffer sizing in server.cu:188-199.
+        """
+        sizes = [self.batch_size]
+        for f in self.fanouts[:-1]:
+            sizes.append(sizes[-1] * f)
+        return tuple(sizes)
+
+    def edge_counts(self) -> Tuple[int, ...]:
+        """Static max edges emitted per hop."""
+        fs = self.frontier_sizes()
+        return tuple(fs[k] * self.fanouts[k] for k in range(self.num_hops))
+
+    @property
+    def max_ids(self) -> int:
+        """Worst-case unique node count (server.cu:188-199)."""
+        return self.batch_size + sum(self.edge_counts())
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """Hotness cache (reference: src/cache/cache.cu, system_config.cuh:56)."""
+
+    cache_bytes: int = 0
+    # log2 of the cache-aggregation group size Kg (reference cache_agg_mode,
+    # legion_server.py:100-106); group_size = 2 ** agg_mode.
+    agg_mode: int = 0
+    # alpha-sweep granularity for the feature/topology split
+    # (reference MIN_INTERVAL, cache_impl.cuh:30)
+    alpha_step: float = 0.01
+    # presampling steps used to measure hotness; 0 => one full train epoch
+    presample_steps: int = 0
+
+    @property
+    def group_size(self) -> int:
+        return 1 << self.agg_mode
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Model/optimizer config (reference: legion_graphsage.py:191-203)."""
+
+    model: str = "graphsage"           # graphsage | gcn | gat | lp_sage
+    hidden_dim: int = 256
+    num_layers: int = 2
+    dropout: float = 0.5
+    lr: float = 3e-3
+    epochs: int = 2
+    # GAT-specific (legion_gat.py:150-157)
+    gat_heads: Tuple[int, ...] = (8, 1)
+    gat_feat_drop: float = 0.6
+    gat_attn_drop: float = 0.6
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout.
+
+    Legion's NVLink clique structure (Kc cliques x Kg GPUs,
+    legion_server.py:100-106) becomes two mesh axes: ``clique`` (independent
+    cache replicas, data-parallel across) and ``member`` (cache-interleaved
+    ICI neighbors, data-parallel within, cache reads via collectives).
+    """
+
+    num_cliques: int = 1     # Kc
+    clique_size: int = 1     # Kg
+
+    @property
+    def num_devices(self) -> int:
+        return self.num_cliques * self.clique_size
+
+    @classmethod
+    def for_devices(cls, n: int, clique_size: Optional[int] = None
+                    ) -> "MeshConfig":
+        if clique_size is None:
+            # single host => all chips share ICI => one clique,
+            # mirrors DGX-A100 Kc=1 Kg=8 (README.md:14)
+            clique_size = n
+        assert n % clique_size == 0
+        return cls(num_cliques=n // clique_size, clique_size=clique_size)
+
+
+@dataclass(frozen=True)
+class LegionConfig:
+    """Top-level config bundle."""
+
+    dataset: DatasetMeta
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "LegionConfig":
+        d = json.loads(s)
+        for k in ("fanouts", "gat_heads"):
+            pass
+        ds = DatasetMeta(**d["dataset"])
+        sp = SamplerConfig(**{**d["sampler"],
+                              "fanouts": tuple(d["sampler"]["fanouts"])})
+        ca = CacheConfig(**d["cache"])
+        tr = TrainConfig(**{**d["train"],
+                            "gat_heads": tuple(d["train"]["gat_heads"])})
+        me = MeshConfig(**d["mesh"])
+        return cls(dataset=ds, sampler=sp, cache=ca, train=tr, mesh=me)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "LegionConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())

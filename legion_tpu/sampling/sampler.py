@@ -1,0 +1,234 @@
+"""Multi-hop fanout neighbor sampling with static shapes.
+
+TPU-native rebuild of the reference sampling operators
+(src/engine/operator_impl.cu):
+
+  - ``batch_generate`` (:27-55)   -> seed registration into the position map
+  - ``random_sample``  (:175-281) -> vectorized uniform neighbor draws +
+                                     position-map dedup (two scatter passes
+                                     replace the CUDA atomicOr bitmap +
+                                     shared-memory staging)
+  - ``construct_graph`` (:283-296)-> edge endpoint -> local index mapping
+  - ``counter_update`` (:57-89)   -> per-hop cumulative node/edge counters
+  - ``ClearPosMap``    (:542-548) -> scatter-clear of only the touched
+                                     position-map entries
+  - ``pre_sample``     (:301-397) -> hotness accumulation (segment adds
+                                     replace atomicAdd counters)
+
+Everything is compiled under one ``jit``: shapes are the reference's own
+worst-case bounds (server.cu:188-199), pad id is -1 exactly like the CUDA
+kernels (operator_impl.cu:40-43,232-234), and all dedup work is O(E) gathers
+and scatters — no sorting, no data-dependent shapes.
+
+Semantics preserved from the reference (deliberately):
+  - sampling with replacement, uniform over each frontier node's neighbors;
+  - *global* dedup: a node seen at any earlier hop is not re-expanded
+    (frontier of hop k+1 = only the nodes newly discovered at hop k);
+  - edges are stored reversed (src = sampled neighbor, dst = frontier node)
+    so aggregation flows neighbor -> center (operator_impl.cu:256-257);
+  - seeds occupy local positions [0, batch).
+
+Improved over the reference: the per-slot ``thrust::minstd_rand
+engine.discard(idx)`` stream (operator_impl.cu:235-238) repeats the identical
+sample every epoch; we fold (epoch, step, hop) into a threefry key instead
+(SURVEY.md §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from legion_tpu.config import SamplerConfig
+from legion_tpu.graph import DeviceCSR
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+# position-map claim tags live above any valid local index (max_ids < 2**30)
+_CLAIM_BASE = jnp.int32(1 << 30)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SampleBatch:
+    """One sampled mini-batch (static shapes, -1 padded).
+
+    The trainer-visible contract mirrors the reference's IPC buffers + the
+    16-slot counter protocol (ipc_service.cu:28-31, operator_impl.cu:57-89):
+    ``node_ids`` = sampled_ids, ``edge_src/dst`` = agg_src/dst local offsets,
+    ``num_nodes[1+k]`` = node_counter[9+k], ``num_edges[k]`` = cumulative
+    edge_counter[9+k] (per-hop, not cumulative, here).
+    """
+
+    node_ids: jax.Array            # [N_max] int32 global ids, -1 pad
+    num_nodes: jax.Array           # [L+1] int32, cumulative unique per hop
+    edge_src: Tuple[jax.Array, ...]  # per hop [E_k] int32 local idx, -1 pad
+    edge_dst: Tuple[jax.Array, ...]  # per hop [E_k] int32 local idx, -1 pad
+    num_edges: jax.Array           # [L] int32 valid edges per hop
+
+    def tree_flatten(self):
+        return ((self.node_ids, self.num_nodes, self.edge_src, self.edge_dst,
+                 self.num_edges), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_hops(self) -> int:
+        return len(self.edge_src)
+
+
+def _gather(arr: jax.Array, idx: jax.Array, valid: jax.Array,
+            fill) -> jax.Array:
+    """Gather with -1-safe indices: invalid lanes produce ``fill``."""
+    safe = jnp.clip(idx, 0, arr.shape[0] - 1)
+    out = arr[safe]
+    return jnp.where(valid, out, fill)
+
+
+class NeighborSampler:
+    """Fanout sampler over a device-resident CSR.
+
+    State is a single int32 position map of size [V] (the reference's
+    ``position_map``, server.cu:228), functionally threaded through
+    ``sample`` and scatter-cleared at the end of each batch, so steady-state
+    cost is O(touched), not O(V).
+    """
+
+    def __init__(self, config: SamplerConfig, num_nodes: int):
+        self.config = config
+        self.num_nodes = num_nodes
+        self.frontier_sizes = config.frontier_sizes()
+        self.edge_sizes = config.edge_counts()
+        self.max_ids = config.max_ids
+
+    def init_state(self) -> jax.Array:
+        """Fresh position map; INT32_MAX = unseen."""
+        return jnp.full((self.num_nodes,), INT32_MAX, dtype=jnp.int32)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def sample(self, csr: DeviceCSR, seeds: jax.Array, pos_map: jax.Array,
+               key: jax.Array) -> Tuple[SampleBatch, jax.Array]:
+        batch, pos_map, _, _ = self._sample_impl(csr, seeds, pos_map, key,
+                                                 with_hotness=False)
+        return batch, pos_map
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 5, 6))
+    def presample(self, csr: DeviceCSR, seeds: jax.Array, pos_map: jax.Array,
+                  key: jax.Array, node_access: jax.Array,
+                  edge_access: jax.Array
+                  ) -> Tuple[SampleBatch, jax.Array, jax.Array, jax.Array]:
+        """Sampling pass that also accumulates hotness counters.
+
+        node_access[v] += 1 per batch containing v (feature-fetch hotness,
+        reference HotnessMeasure, cache.cu:40-68); edge_access[v] += 1 per
+        frontier expansion of v (adjacency-read hotness, pre_sample
+        operator_impl.cu:358).
+        """
+        batch, pos_map, node_access, edge_access = self._sample_impl(
+            csr, seeds, pos_map, key, with_hotness=True,
+            node_access=node_access, edge_access=edge_access)
+        return batch, pos_map, node_access, edge_access
+
+    def _sample_impl(self, csr: DeviceCSR, seeds: jax.Array,
+                     pos_map: jax.Array, key: jax.Array, with_hotness: bool,
+                     node_access: Optional[jax.Array] = None,
+                     edge_access: Optional[jax.Array] = None):
+        cfg = self.config
+        V = self.num_nodes
+        batch_size = cfg.batch_size
+        assert seeds.shape == (batch_size,), (seeds.shape, batch_size)
+        seeds = seeds.astype(jnp.int32)
+        L = cfg.num_hops
+
+        ids = jnp.full((self.max_ids,), -1, dtype=jnp.int32)
+        ids = ids.at[:batch_size].set(seeds)
+
+        seed_valid = seeds >= 0
+        n_seeds = jnp.sum(seed_valid, dtype=jnp.int32)
+        # register seeds: pos_map[seed] = slot   (batch_generate :27-55)
+        seed_scatter = jnp.where(seed_valid, seeds, V)
+        pos_map = pos_map.at[seed_scatter].set(
+            jnp.arange(batch_size, dtype=jnp.int32), mode="drop")
+
+        cum = n_seeds
+        frontier_off = jnp.int32(0)
+        num_nodes = [n_seeds]
+        num_edges = []
+        edge_src_l, edge_dst_l = [], []
+
+        for k in range(L):
+            F_k = self.frontier_sizes[k]
+            E_k = self.edge_sizes[k]
+            fanout = cfg.fanouts[k]
+            frontier = jax.lax.dynamic_slice(ids, (frontier_off,), (F_k,))
+            fvalid = frontier >= 0
+
+            row_start = _gather(csr.indptr, frontier, fvalid, 0)
+            row_end = _gather(csr.indptr[1:], frontier, fvalid, 0)
+            deg = (row_end - row_start).astype(jnp.int32)
+            deg = jnp.where(fvalid, deg, 0)
+
+            if with_hotness:
+                # adjacency-read hotness for expanded frontier nodes
+                edge_access = edge_access.at[
+                    jnp.where(fvalid, frontier, V)].add(1, mode="drop")
+
+            hop_key = jax.random.fold_in(key, k)
+            r = jax.random.randint(hop_key, (F_k, fanout), 0,
+                                   jnp.maximum(deg, 1)[:, None],
+                                   dtype=jnp.int32)
+            nbr_pos = row_start[:, None] + r.astype(row_start.dtype)
+            nbr = _gather(csr.indices, nbr_pos.reshape(-1),
+                          jnp.repeat(deg > 0, fanout), -1)
+            cand = nbr  # [E_k] global ids, -1 where frontier pad / deg 0
+            e_dst_g = jnp.repeat(frontier, fanout)
+            e_valid = cand >= 0
+
+            # --- dedup via two scatter passes over the position map ---
+            cur = _gather(pos_map, cand, e_valid, INT32_MAX)
+            is_new = e_valid & (cur == INT32_MAX)
+            lane = jnp.arange(E_k, dtype=jnp.int32)
+            claim = _CLAIM_BASE + lane
+            pos_map = pos_map.at[jnp.where(is_new, cand, V)].min(
+                claim, mode="drop")
+            won = is_new & (_gather(pos_map, cand, is_new, -1) == claim)
+            rank = jnp.cumsum(won, dtype=jnp.int32) - 1
+            local_new = cum + rank
+            n_new = jnp.sum(won, dtype=jnp.int32)
+            pos_map = pos_map.at[jnp.where(won, cand, V)].set(
+                local_new, mode="drop")
+            ids = ids.at[jnp.where(won, local_new, self.max_ids)].set(
+                cand, mode="drop")
+
+            # --- construct_graph: map endpoints to local indices ---
+            src_l = _gather(pos_map, cand, e_valid, -1)
+            dst_l = _gather(pos_map, e_dst_g, e_valid, -1)
+            edge_src_l.append(src_l)
+            edge_dst_l.append(dst_l)
+            num_edges.append(jnp.sum(e_valid, dtype=jnp.int32))
+
+            frontier_off = cum
+            cum = cum + n_new
+            num_nodes.append(cum)
+
+        if with_hotness:
+            node_access = node_access.at[
+                jnp.where(ids >= 0, ids, V)].add(1, mode="drop")
+
+        # ClearPosMap: reset only touched entries
+        pos_map = pos_map.at[jnp.where(ids >= 0, ids, V)].set(
+            INT32_MAX, mode="drop")
+
+        batch = SampleBatch(
+            node_ids=ids,
+            num_nodes=jnp.stack(num_nodes),
+            edge_src=tuple(edge_src_l),
+            edge_dst=tuple(edge_dst_l),
+            num_edges=jnp.stack(num_edges),
+        )
+        return batch, pos_map, node_access, edge_access
