@@ -1,0 +1,88 @@
+"""Shared model utilities: block geometry, initializers, dropout.
+
+Models are plain pytree params + pure apply functions (idiomatic JAX — easy
+to pjit/shard_map, no framework state). The reference models are DGL/torch
+nn.Modules (training_backend/legion_{graphsage,gcn,gat}.py); math parity is
+with their per-layer formulas, not their implementation.
+
+Block geometry: layer i (of L) aggregates over hop k = L-1-i's edges; its
+input covers node positions [0, S[k+1]) and output [0, S[k]), where
+S[k] = batch + sum_{j<k} E_j are the static worst-case cumulative node counts
+(the trainer-side analog of reading node_counter[9+k],
+ipc_cuda_kernel.cu:196-229).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from legion_tpu.config import SamplerConfig, TrainConfig
+
+
+def static_cum_sizes(cfg: SamplerConfig) -> Tuple[int, ...]:
+    """S[k] = max unique nodes after hop k; S[0]=batch, S[L]=max_ids."""
+    s = [cfg.batch_size]
+    for e in cfg.edge_counts():
+        s.append(s[-1] + e)
+    return tuple(s)
+
+
+def xavier_uniform(key: jax.Array, shape: Tuple[int, ...],
+                   gain: float = 1.0, dtype=jnp.float32) -> jax.Array:
+    """Glorot uniform, matching torch/DGL reset_parameters conventions."""
+    fan_in, fan_out = shape[0], shape[1]
+    if len(shape) > 2:  # [in, heads, out] attention weights
+        fan_out = shape[1] * shape[2]
+    bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_init(key: jax.Array, in_dim: int, out_dim: int,
+                      bias: bool = True, dtype=jnp.float32):
+    """torch.nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    w = jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound)
+    if not bias:
+        return {"w": w}
+    b = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def dropout(x: jax.Array, rate: float, key: Optional[jax.Array],
+            train: bool) -> jax.Array:
+    if not train or rate <= 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0).astype(x.dtype)
+
+
+def make_model(train_cfg: TrainConfig, sampler_cfg: SamplerConfig,
+               in_dim: int, num_classes: int):
+    """Factory mirroring the reference's per-model launcher scripts."""
+    from legion_tpu.models.graphsage import GraphSAGE
+    from legion_tpu.models.gcn import GCN
+    from legion_tpu.models.gat import GAT
+    from legion_tpu.models.lp_sage import LinkPredSAGE
+
+    name = train_cfg.model.lower()
+    if name == "graphsage":
+        return GraphSAGE(sampler_cfg, in_dim, train_cfg.hidden_dim,
+                         num_classes, dropout=train_cfg.dropout)
+    if name == "gcn":
+        return GCN(sampler_cfg, in_dim, train_cfg.hidden_dim, num_classes,
+                   dropout=train_cfg.dropout)
+    if name == "gat":
+        return GAT(sampler_cfg, in_dim, train_cfg.hidden_dim, num_classes,
+                   heads=train_cfg.gat_heads,
+                   feat_drop=train_cfg.gat_feat_drop,
+                   attn_drop=train_cfg.gat_attn_drop)
+    if name == "lp_sage":
+        return LinkPredSAGE(sampler_cfg, in_dim, train_cfg.hidden_dim,
+                            dropout=train_cfg.dropout)
+    raise ValueError(f"unknown model {train_cfg.model!r}")

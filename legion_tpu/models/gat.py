@@ -1,0 +1,103 @@
+"""GAT with edge-wise SDDMM attention.
+
+Math parity with the reference trainer's DGL GATConv stack
+(training_backend/legion_gat.py:37-79; heads [8,1], feat/attn dropout 0.6,
+mid layers flatten heads, last layer means them):
+
+    z_u     = W h_u                       (per head)
+    e_uv    = LeakyReLU(a_l . z_u + a_r . z_v)      # SDDMM over edges
+    alpha   = segment_softmax(e, dst)                # per-dst normalization
+    h'_v    = sum_u alpha_uv z_u
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from legion_tpu.config import SamplerConfig
+from legion_tpu.models.common import dropout, static_cum_sizes, \
+    xavier_uniform
+from legion_tpu.ops import gather_rows, masked_segment_sum, segment_softmax
+from legion_tpu.sampling import SampleBatch
+
+
+def gat_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
+                    edge_dst: jax.Array, num_dst: int,
+                    negative_slope: float = 0.2,
+                    attn_drop: float = 0.0, train: bool = False,
+                    rng: Optional[jax.Array] = None) -> jax.Array:
+    """One multi-head GATConv. Returns [num_dst, heads, d_out]."""
+    H, d_out = params["attn_l"].shape
+    z = (h_src @ params["w"].reshape(h_src.shape[1], H * d_out)
+         ).reshape(-1, H, d_out)
+    el = jnp.sum(z * params["attn_l"][None], axis=-1)  # [N_src, H]
+    er = jnp.sum(z * params["attn_r"][None], axis=-1)
+    e = gather_rows(el, edge_src) + gather_rows(er, edge_dst)  # [E, H]
+    e = jax.nn.leaky_relu(e, negative_slope)
+    alpha = segment_softmax(e, edge_dst, num_dst)
+    alpha = dropout(alpha, attn_drop, rng, train)
+    msgs = gather_rows(z, edge_src) * alpha[:, :, None]
+    out = masked_segment_sum(msgs, edge_dst, num_dst)
+    return out + params["b"][None]
+
+
+class GAT:
+    def __init__(self, sampler_cfg: SamplerConfig, in_dim: int,
+                 hidden_dim: int, num_classes: int,
+                 heads: Sequence[int] = (8, 1), feat_drop: float = 0.6,
+                 attn_drop: float = 0.6, negative_slope: float = 0.2):
+        self.cfg = sampler_cfg
+        self.num_layers = sampler_cfg.num_hops
+        assert len(heads) == self.num_layers
+        self.heads = tuple(heads)
+        self.feat_drop = feat_drop
+        self.attn_drop = attn_drop
+        self.negative_slope = negative_slope
+        self.S = static_cum_sizes(sampler_cfg)
+        # layer i: in = in_dim (i=0) else hidden*heads[i-1] (flattened);
+        # out-per-head = hidden for mid layers, num_classes for the last
+        self.layer_in = [in_dim] + [hidden_dim * heads[i - 1]
+                                    for i in range(1, self.num_layers)]
+        self.layer_out = [hidden_dim] * (self.num_layers - 1) + [num_classes]
+
+    def init(self, key: jax.Array):
+        layers = []
+        for i in range(self.num_layers):
+            k1, k2, k3, key = jax.random.split(key, 4)
+            d_in, d_out, H = self.layer_in[i], self.layer_out[i], \
+                self.heads[i]
+            layers.append({
+                # DGL GATConv reset_parameters: xavier gain=sqrt(2)
+                "w": xavier_uniform(k1, (d_in, H, d_out), gain=2 ** 0.5),
+                "attn_l": xavier_uniform(k2, (H, d_out), gain=2 ** 0.5),
+                "attn_r": xavier_uniform(k3, (H, d_out), gain=2 ** 0.5),
+                "b": jnp.zeros((H, d_out), jnp.float32),
+            })
+        return {"layers": layers}
+
+    def apply(self, params, feats: jax.Array, batch: SampleBatch,
+              train: bool = False, rng: Optional[jax.Array] = None
+              ) -> jax.Array:
+        L = self.num_layers
+        h = feats
+        for i in range(L):
+            k = L - 1 - i
+            if rng is not None:
+                rng, kf, ka = jax.random.split(rng, 3)
+            else:
+                kf = ka = None
+            h = dropout(h, self.feat_drop, kf, train)
+            out = gat_layer_apply(params["layers"][i], h[:self.S[k + 1]],
+                                  batch.edge_src[k], batch.edge_dst[k],
+                                  self.S[k], self.negative_slope,
+                                  self.attn_drop, train, ka)
+            if i != L - 1:
+                # flatten heads + ELU like legion_gat.py:57-60
+                out = jax.nn.elu(out.reshape(out.shape[0], -1))
+            else:
+                out = out.mean(axis=1)
+            h = out
+        return h[:self.cfg.batch_size]

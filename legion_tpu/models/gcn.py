@@ -1,0 +1,83 @@
+"""GCN with symmetric degree normalization.
+
+Math parity with the reference trainer's DGL GraphConv(norm='both',
+allow_zero_in_degree=True) stack (training_backend/legion_gcn.py:68-96):
+
+    h'_v = b + sum_{(u->v)} ( d_out(u)^{-1/2} h_u ) W * d_in(v)^{-1/2}
+
+Degrees are block-local (counted over the sampled edges, like DGL computes
+them on the block graph); zero in-degree vertices get a zero neighbor term.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from legion_tpu.config import SamplerConfig
+from legion_tpu.models.common import dropout, static_cum_sizes, \
+    xavier_uniform
+from legion_tpu.ops import gather_rows, masked_segment_sum
+from legion_tpu.sampling import SampleBatch
+
+
+def gcn_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
+                    edge_dst: jax.Array, num_dst: int) -> jax.Array:
+    n_src = h_src.shape[0]
+    valid = edge_dst >= 0
+    ones = jnp.ones(edge_src.shape, dtype=h_src.dtype)
+    out_deg = masked_segment_sum(ones, jnp.where(valid, edge_src, -1), n_src)
+    in_deg = masked_segment_sum(ones, edge_dst, num_dst)
+    inv_sqrt_out = jnp.where(out_deg > 0, jax.lax.rsqrt(
+        jnp.maximum(out_deg, 1)), 0)
+    inv_sqrt_in = jnp.where(in_deg > 0, jax.lax.rsqrt(
+        jnp.maximum(in_deg, 1)), 0)
+
+    # right-multiply by W on the smaller side first (DGL does the same
+    # in/out-dim trick); here we always project messages first
+    hw = h_src @ params["w"]
+    msgs = gather_rows(hw * inv_sqrt_out[:, None], edge_src)
+    agg = masked_segment_sum(msgs, edge_dst, num_dst)
+    out = agg * inv_sqrt_in[:, None]
+    return out + params["b"]
+
+
+class GCN:
+    def __init__(self, sampler_cfg: SamplerConfig, in_dim: int,
+                 hidden_dim: int, num_classes: int, dropout: float = 0.5):
+        self.cfg = sampler_cfg
+        self.num_layers = sampler_cfg.num_hops
+        self.dims = ([in_dim] + [hidden_dim] * (self.num_layers - 1)
+                     + [num_classes])
+        self.dropout_rate = dropout
+        self.S = static_cum_sizes(sampler_cfg)
+
+    def init(self, key: jax.Array):
+        layers = []
+        for i in range(self.num_layers):
+            k1, key = jax.random.split(key)
+            # DGL GraphConv reset_parameters: xavier_uniform, zero bias
+            layers.append({
+                "w": xavier_uniform(k1, (self.dims[i], self.dims[i + 1])),
+                "b": jnp.zeros((self.dims[i + 1],), jnp.float32),
+            })
+        return {"layers": layers}
+
+    def apply(self, params, feats: jax.Array, batch: SampleBatch,
+              train: bool = False, rng: Optional[jax.Array] = None
+              ) -> jax.Array:
+        L = self.num_layers
+        h = feats
+        for i in range(L):
+            k = L - 1 - i
+            h = gcn_layer_apply(params["layers"][i], h[:self.S[k + 1]],
+                                batch.edge_src[k], batch.edge_dst[k],
+                                self.S[k])
+            if i != L - 1:
+                h = jax.nn.relu(h)
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                    h = dropout(h, self.dropout_rate, sub, train)
+        return h[:self.cfg.batch_size]

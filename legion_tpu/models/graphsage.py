@@ -1,0 +1,81 @@
+"""GraphSAGE (mean aggregator).
+
+Math parity with the reference trainer's DGL stack
+(training_backend/legion_graphsage.py:37-64, dgl.nn.SAGEConv 'mean'):
+
+    h_N(v)  = mean_{(u->v) in block} h_u
+    h'_v    = W_self h_v + b + W_neigh h_N(v)
+    between layers: ReLU + dropout
+
+Aggregation uses the sampler's reversed edges (src = sampled neighbor,
+dst = center, operator_impl.cu:256-257), so a plain masked segment-mean over
+dst is exactly the neighbor mean.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from legion_tpu.config import SamplerConfig
+from legion_tpu.models.common import dropout, static_cum_sizes, \
+    xavier_uniform
+from legion_tpu.ops import gather_rows, masked_segment_mean
+from legion_tpu.sampling import SampleBatch
+
+
+def sage_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
+                     edge_dst: jax.Array, num_dst: int) -> jax.Array:
+    """One SAGEConv(mean) layer. h_src: [N_src, d_in] -> [num_dst, d_out]."""
+    h_dst = h_src[:num_dst]
+    msgs = gather_rows(h_src, edge_src)
+    h_neigh = masked_segment_mean(msgs, edge_dst, num_dst)
+    out = h_dst @ params["w_self"] + h_neigh @ params["w_neigh"]
+    return out + params["b"]
+
+
+class GraphSAGE:
+    def __init__(self, sampler_cfg: SamplerConfig, in_dim: int,
+                 hidden_dim: int, num_classes: int, dropout: float = 0.5,
+                 num_layers: Optional[int] = None):
+        self.cfg = sampler_cfg
+        self.num_layers = num_layers or sampler_cfg.num_hops
+        assert self.num_layers == sampler_cfg.num_hops, (
+            "layer count must match sampling hops")
+        self.dims = ([in_dim] + [hidden_dim] * (self.num_layers - 1)
+                     + [num_classes])
+        self.dropout_rate = dropout
+        self.S = static_cum_sizes(sampler_cfg)
+
+    def init(self, key: jax.Array):
+        layers = []
+        for i in range(self.num_layers):
+            k1, k2, key = jax.random.split(key, 3)
+            d_in, d_out = self.dims[i], self.dims[i + 1]
+            # DGL SAGEConv reset_parameters: xavier_uniform gain=sqrt(2)
+            layers.append({
+                "w_self": xavier_uniform(k1, (d_in, d_out), gain=2 ** 0.5),
+                "w_neigh": xavier_uniform(k2, (d_in, d_out), gain=2 ** 0.5),
+                "b": jnp.zeros((d_out,), jnp.float32),
+            })
+        return {"layers": layers}
+
+    def apply(self, params, feats: jax.Array, batch: SampleBatch,
+              train: bool = False, rng: Optional[jax.Array] = None
+              ) -> jax.Array:
+        """feats: [max_ids, in_dim] -> per-seed logits [batch, classes]."""
+        L = self.num_layers
+        h = feats
+        for i in range(L):
+            k = L - 1 - i  # layer i aggregates hop k's edges
+            h = sage_layer_apply(params["layers"][i], h[:self.S[k + 1]],
+                                 batch.edge_src[k], batch.edge_dst[k],
+                                 self.S[k])
+            if i != L - 1:
+                h = jax.nn.relu(h)
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                    h = dropout(h, self.dropout_rate, sub, train)
+        return h[:self.cfg.batch_size]

@@ -6,14 +6,23 @@ strategy — sharding logic is validated on host CPU devices, perf on real TPU).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter startup, overriding the env var — force it back
+# so tests genuinely run on the virtual CPU mesh, not through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu" and len(jax.devices()) == 8
 
 
 @pytest.fixture(scope="session")
