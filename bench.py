@@ -1,0 +1,117 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): GraphSAGE [25,10] training throughput on a
+products-scale power-law graph (2.4M vertices / 120M edges / feat 100,
+batch 8000 — the reference's Fig. 8 ogbn-products configuration,
+detail_parameter_settings/README.md:17-29), reported as end-to-end trained
+edges/s: sampled aggregation edges consumed per wall-clock second by the
+fused sample+gather+train step at steady state on one chip.
+
+vs_baseline: the reference publishes no absolute numbers (BASELINE.md), so
+the denominator is a fixed per-chip budget derived from the paper's setup:
+8xA100 Legion sweeps ~25 steps x ~22M sampled edges per [25,10] epoch over
+ogbn-products in about one second — ~70M trained edges/s per GPU. We pin
+BASELINE_EDGES_PER_S = 70e6; vs_baseline = measured / 70e6, i.e. 1.0 ==
+parity with one A100's share of the reference run.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_EDGES_PER_S = 70e6
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=2_400_000)
+    ap.add_argument("--edges", type=int, default=120_000_000)
+    ap.add_argument("--feature-dim", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8000)
+    ap.add_argument("--fanouts", type=int, nargs="+", default=[25, 10])
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--model", default="graphsage")
+    ap.add_argument("--hidden", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from legion_tpu.config import (CacheConfig, LegionConfig, MeshConfig,
+                                   SamplerConfig, TrainConfig)
+    from legion_tpu.data.device_synthetic import synthesize_device_dataset
+    from legion_tpu.sampling import NeighborSampler
+    from legion_tpu.train import Trainer
+
+    t_setup = time.time()
+    ds = synthesize_device_dataset(
+        num_nodes=args.nodes, num_edges=args.edges,
+        feature_dim=args.feature_dim, batch_size=args.batch)
+    jax.block_until_ready(ds.features)
+    gen_s = time.time() - t_setup
+
+    cfg = LegionConfig(
+        dataset=ds.meta,
+        sampler=SamplerConfig(fanouts=tuple(args.fanouts),
+                              batch_size=args.batch),
+        cache=CacheConfig(),
+        train=TrainConfig(model=args.model, hidden_dim=args.hidden,
+                          epochs=1),
+        mesh=MeshConfig.for_devices(1),
+    )
+    trainer = Trainer(ds, cfg)
+    state = trainer.init_state()
+
+    n_warm = args.warmup
+    t_compile = time.time()
+    for _ in range(n_warm):
+        state, loss = trainer.train_step(state)
+    jax.block_until_ready(loss)
+    compile_s = time.time() - t_compile
+
+    n_steps = args.steps
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, loss = trainer.train_step(state)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    step_time = dt / n_steps
+
+    # true valid-edge/node counts measured on one sampled batch
+    sampler = NeighborSampler(cfg.sampler, ds.meta.num_nodes)
+    seeds = jax.lax.dynamic_slice(
+        trainer.train_bank[0], (0,), (args.batch,))
+    b, _ = sampler.sample(trainer.csr, seeds, sampler.init_state(),
+                          jax.random.PRNGKey(1))
+    valid_edges = int(np.asarray(b.num_edges).sum())
+    uniq_nodes = int(np.asarray(b.num_nodes)[-1])
+
+    edges_per_s = valid_edges / step_time
+    result = {
+        "metric": f"{args.model}_fanout{'x'.join(map(str, args.fanouts))}"
+                  f"_b{args.batch}_trained_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+        "extra": {
+            "step_time_s": round(step_time, 5),
+            "sampled_nodes_per_s": round(uniq_nodes / step_time, 1),
+            "valid_edges_per_step": valid_edges,
+            "unique_nodes_per_step": uniq_nodes,
+            "steps_measured": n_steps,
+            "datagen_s": round(gen_s, 2),
+            "warmup_s": round(compile_s, 2),
+            "device": str(jax.devices()[0]),
+            "last_loss": round(float(loss), 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

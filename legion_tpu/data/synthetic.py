@@ -42,13 +42,23 @@ def powerlaw_community_graph(
     # graphs). Sources are uniform so nearly every vertex has out-edges to
     # sample from; hubs emerge in in-degree — this is what the hotness cache
     # exploits.
-    ranks = np.arange(num_nodes, dtype=np.float64)
-    probs = (ranks + 1.0) ** (-alpha)
-    probs /= probs.sum()
     perm = rng.permutation(num_nodes)
-
     src = rng.integers(0, num_nodes, size=num_edges)
-    dst = perm[rng.choice(num_nodes, size=num_edges, p=probs)]
+    if num_edges > 5_000_000:
+        # fast inverse-CDF power-law rank sampling (rng.choice's cumsum path
+        # is too slow at 10^8 edges): rank ~ u^{1/(1-alpha)} truncated
+        u = rng.random(num_edges)
+        ranks_f = (num_nodes + 1.0) ** (1.0 - alpha) + u * (
+            1.0 - (num_nodes + 1.0) ** (1.0 - alpha))
+        dst_rank = np.minimum(
+            (ranks_f ** (1.0 / (1.0 - alpha))).astype(np.int64) - 1,
+            num_nodes - 1)
+        dst = perm[dst_rank]
+    else:
+        ranks = np.arange(num_nodes, dtype=np.float64)
+        probs = (ranks + 1.0) ** (-alpha)
+        probs /= probs.sum()
+        dst = perm[rng.choice(num_nodes, size=num_edges, p=probs)]
 
     # community bias: rewire a fraction of destinations into the source's
     # community by shifting to a same-label node

@@ -65,12 +65,14 @@ def segment_softmax(scores: jax.Array, segment_ids: jax.Array,
     scores: [E] or [E, H]; invalid edges get weight 0.
     """
     valid = segment_ids >= 0
-    m = masked_segment_max(scores, segment_ids, num_segments)
-    m = jnp.where(jnp.isfinite(m), m, 0)  # empty segments
-    shifted = scores - gather_rows(m, segment_ids)
-    e = jnp.exp(shifted)
+    # zero-floored max: still a constant shift per segment (softmax
+    # invariant), never the finfo.min sentinel of empty segments, and keeps
+    # exp() <= 1 for positive scores. Masking BEFORE exp matters: an exp(inf)
+    # on an invalid lane would poison the backward pass even under where().
+    m = jnp.maximum(masked_segment_max(scores, segment_ids, num_segments), 0)
     vshape = valid.reshape(valid.shape + (1,) * (scores.ndim - 1))
-    e = jnp.where(vshape, e, 0)
+    shifted = jnp.where(vshape, scores - gather_rows(m, segment_ids), 0)
+    e = jnp.where(vshape, jnp.exp(shifted), 0)
     denom = masked_segment_sum(e, segment_ids, num_segments)
     denom = jnp.maximum(denom, jnp.finfo(scores.dtype).tiny)
     return e / gather_rows(denom, segment_ids)

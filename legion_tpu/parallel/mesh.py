@@ -1,0 +1,45 @@
+"""Device mesh construction.
+
+Legion's GPU topology (Kc NVLink cliques x Kg GPUs, detected via nvidia-smi
+in legion_server.py:23-37) maps to a 2-axis TPU mesh:
+
+  axis "clique" (Kc): independent cache groups — data-parallel across, no
+      intra-step communication except gradient reduction;
+  axis "member" (Kg): ICI neighbors sharing an aggregated cache — feature
+      cache interleaved over this axis (cache_impl.cuh:104-109), reads via
+      collective gathers.
+
+Training is data-parallel over BOTH axes (the reference's DDP over all 8
+GPUs, legion_graphsage.py:139-140); the distinction only matters to the
+cache layer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from legion_tpu.config import MeshConfig
+
+DP_AXES = ("clique", "member")
+
+
+def make_mesh(config: Optional[MeshConfig] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if config is None:
+        config = MeshConfig.for_devices(len(devices))
+    n = config.num_devices
+    assert n <= len(devices), (
+        f"mesh needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(config.num_cliques,
+                                          config.clique_size)
+    return Mesh(arr, DP_AXES)
+
+
+def dp_size(mesh: Mesh) -> int:
+    return mesh.shape["clique"] * mesh.shape["member"]

@@ -110,12 +110,27 @@ class NeighborSampler:
         """Fresh position map; INT32_MAX = unseen."""
         return jnp.full((self.num_nodes,), INT32_MAX, dtype=jnp.int32)
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-    def sample(self, csr: DeviceCSR, seeds: jax.Array, pos_map: jax.Array,
-               key: jax.Array) -> Tuple[SampleBatch, jax.Array]:
+    def sample_fn(self, csr: DeviceCSR, seeds: jax.Array, pos_map: jax.Array,
+                  key: jax.Array) -> Tuple[SampleBatch, jax.Array]:
+        """Un-jitted sampling body, for composition inside fused train
+        steps / shard_map."""
         batch, pos_map, _, _ = self._sample_impl(csr, seeds, pos_map, key,
                                                  with_hotness=False)
         return batch, pos_map
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def sample(self, csr: DeviceCSR, seeds: jax.Array, pos_map: jax.Array,
+               key: jax.Array) -> Tuple[SampleBatch, jax.Array]:
+        return self.sample_fn(csr, seeds, pos_map, key)
+
+    def presample_fn(self, csr: DeviceCSR, seeds: jax.Array,
+                     pos_map: jax.Array, key: jax.Array,
+                     node_access: jax.Array, edge_access: jax.Array
+                     ) -> Tuple[SampleBatch, jax.Array, jax.Array, jax.Array]:
+        batch, pos_map, node_access, edge_access = self._sample_impl(
+            csr, seeds, pos_map, key, with_hotness=True,
+            node_access=node_access, edge_access=edge_access)
+        return batch, pos_map, node_access, edge_access
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 5, 6))
     def presample(self, csr: DeviceCSR, seeds: jax.Array, pos_map: jax.Array,
@@ -129,10 +144,8 @@ class NeighborSampler:
         frontier expansion of v (adjacency-read hotness, pre_sample
         operator_impl.cu:358).
         """
-        batch, pos_map, node_access, edge_access = self._sample_impl(
-            csr, seeds, pos_map, key, with_hotness=True,
-            node_access=node_access, edge_access=edge_access)
-        return batch, pos_map, node_access, edge_access
+        return self.presample_fn(csr, seeds, pos_map, key, node_access,
+                                 edge_access)
 
     def _sample_impl(self, csr: DeviceCSR, seeds: jax.Array,
                      pos_map: jax.Array, key: jax.Array, with_hotness: bool,

@@ -1,0 +1,315 @@
+"""End-to-end trainer: fused sample -> feature gather -> model -> update.
+
+This collapses the reference's three cooperating layers — the sampling server
+hot loop (server.cu:302-332), the CUDA-IPC handoff (ipc_service.cu), and the
+DDP trainer processes (legion_graphsage.py:121-183) — into ONE jitted SPMD
+program per step. On TPU the sampler and model share the chip, so the
+zero-copy process handoff is simply function composition, and DDP+NCCL
+becomes a `lax.pmean` over the mesh.
+
+Zero-host-traffic hot loop: all seed sets live on device as padded "banks"
+(the device-side analog of BatchGenerate's seed slicing,
+operator_impl.cu:92-172), the step/epoch counters and RNG keys are device
+state, and losses/metrics accumulate on device. A training step consumes NO
+host inputs — the host only chooses which compiled function to invoke, so
+steps pipeline back-to-back with async dispatch (the reference needed a
+3-stream event DAG + semaphore pipeline for the same overlap).
+
+Data parallelism: `shard_map` over the ("clique", "member") mesh; each device
+samples from its own partition's seeds with its own position map and RNG
+stream, computes grads, and grads/metrics are mean/sum-reduced across the
+mesh — exactly the reference's one-replica-per-GPU + allreduce structure
+(legion_graphsage.py:139-140).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, replace
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _esm
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return _esm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+from legion_tpu.config import LegionConfig
+from legion_tpu.models import make_model
+from legion_tpu.parallel.mesh import DP_AXES, dp_size, make_mesh
+from legion_tpu.pipeline import Mode, Schedule
+from legion_tpu.sampling import NeighborSampler
+
+DP = P(DP_AXES)            # shard leading dim over both mesh axes
+DPN = P(DP_AXES, None)     # [n_dev, L] banks
+
+
+def _masked_ce(logits: jax.Array, labels: jax.Array,
+               valid: jax.Array) -> jax.Array:
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits, jnp.maximum(labels, 0))
+    w = valid.astype(logits.dtype)
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1)
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    train_loss: float
+    valid_acc: float
+    seconds: float
+
+
+def _build_bank(sets: List[np.ndarray], steps: int, static_bs: int,
+                batch_sizes: List[int]) -> np.ndarray:
+    """[n_dev, steps*static_bs] seed bank; step s of device d occupies
+    [s*static_bs, s*static_bs + batch_sizes[d]), -1 padded — this encodes
+    the per-partition batch sizes of the reference coordinator
+    (ipc_service.cu:88-115) while keeping every device's slice uniform."""
+    n_dev = len(sets)
+    bank = np.full((n_dev, steps * static_bs), -1, np.int32)
+    for d, ids in enumerate(sets):
+        bs = batch_sizes[d]
+        for s in range(steps):
+            chunk = ids[s * bs:(s + 1) * bs]
+            bank[d, s * static_bs: s * static_bs + len(chunk)] = chunk
+    return bank
+
+
+class Trainer:
+    def __init__(self, dataset, config: LegionConfig,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.config = config
+        self.dataset = dataset
+        self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
+        self.n_dev = dp_size(self.mesh)
+        meta = dataset.meta
+        V = meta.num_nodes
+        scfg = config.sampler
+
+        rep = NamedSharding(self.mesh, P())
+        dpn = NamedSharding(self.mesh, DPN)
+
+        # --- device-resident storage (replicated; cache modes come from
+        # legion_tpu.cache for graphs that exceed HBM) ---
+        if hasattr(dataset, "device_arrays"):
+            # dataset already provides device-resident arrays
+            self.csr, self.features, self.labels = dataset.device_arrays()
+            train_sets, valid_sets, test_sets = dataset.seed_sets(self.n_dev)
+        else:
+            self.csr = dataset.graph.to_device(rep)
+            self.features = jax.device_put(
+                np.asarray(dataset.features, np.float32), rep)
+            self.labels = jax.device_put(
+                np.asarray(dataset.labels[:V], np.int32), rep)
+            train_sets = [dataset.seeds_for_partition("train", d, self.n_dev)
+                          for d in range(self.n_dev)]
+            valid_sets = [dataset.seeds_for_partition("valid", d, self.n_dev)
+                          for d in range(self.n_dev)]
+            test_sets = [dataset.seeds_for_partition("test", d, self.n_dev)
+                         for d in range(self.n_dev)]
+
+        self.schedule = Schedule.build(
+            [len(s) for s in train_sets], [len(s) for s in valid_sets],
+            [len(s) for s in test_sets], scfg.batch_size,
+            config.train.epochs, scfg.eval_batch_size)
+        sch = self.schedule
+
+        # --- device-resident seed banks ---
+        self.train_bank = jax.device_put(
+            _build_bank([np.asarray(s) for s in train_sets], sch.train_step,
+                        scfg.batch_size, [sch.train_batch_size] * self.n_dev),
+            dpn)
+        self.valid_bank = jax.device_put(
+            _build_bank([np.asarray(s) for s in valid_sets], sch.valid_step,
+                        scfg.eval_batch_size, list(sch.valid_batch_sizes)),
+            dpn)
+        self.test_bank = jax.device_put(
+            _build_bank([np.asarray(s) for s in test_sets], sch.test_step,
+                        scfg.eval_batch_size, list(sch.test_batch_sizes)),
+            dpn)
+
+        # --- samplers + models (train vs eval shapes) ---
+        self.sampler_t = NeighborSampler(scfg, V)
+        eval_scfg = replace(scfg, batch_size=scfg.eval_batch_size)
+        self.sampler_e = NeighborSampler(eval_scfg, V)
+        self.model_t = make_model(config.train, scfg, meta.feature_dim,
+                                  meta.num_classes)
+        self.model_e = make_model(config.train, eval_scfg, meta.feature_dim,
+                                  meta.num_classes)
+        self.tx = optax.adam(config.train.lr)
+
+        self._train_step = self._build_train_step()
+        self._eval_steps = {
+            Mode.VALID: self._build_eval_step(sch.valid_step, "valid_ctr"),
+            Mode.TEST: self._build_eval_step(sch.test_step, "test_ctr"),
+        }
+        self.test_acc: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: Optional[jax.Array] = None) -> Dict:
+        if key is None:
+            key = jax.random.PRNGKey(self.config.train.seed)
+        rep = NamedSharding(self.mesh, P())
+        dp = NamedSharding(self.mesh, DP)
+        params = jax.device_put(self.model_t.init(key), rep)
+        opt_state = jax.device_put(self.tx.init(params), rep)
+        pos_map = jax.device_put(
+            np.full((self.n_dev, self.dataset.meta.num_nodes),
+                    np.iinfo(np.int32).max, np.int32), dp)
+        z = lambda: jax.device_put(np.int32(0), rep)
+        return {"params": params, "opt_state": opt_state,
+                "pos_map": pos_map, "train_ctr": z(), "valid_ctr": z(),
+                "test_ctr": z(), "correct": z(), "total": z(),
+                "base_key": jax.device_put(
+                    jax.random.PRNGKey(self.config.train.seed + 1), rep)}
+
+    # ------------------------------------------------------------------
+    def _device_key(self, base_key: jax.Array, ctr: jax.Array,
+                    tag: int) -> jax.Array:
+        ci = jax.lax.axis_index("clique")
+        mi = jax.lax.axis_index("member")
+        dev = ci * self.mesh.shape["member"] + mi
+        k = jax.random.fold_in(base_key, ctr)
+        k = jax.random.fold_in(k, tag)
+        return jax.random.fold_in(k, dev)
+
+    def _build_train_step(self):
+        sampler, model, tx = self.sampler_t, self.model_t, self.tx
+        bs = self.config.sampler.batch_size
+        n_steps = self.schedule.train_step
+
+        def step(params, opt_state, pos_map, ctr, base_key, bank, csr,
+                 feats, labels):
+            pos_map, bank = pos_map[0], bank[0]
+            lid = ctr % n_steps
+            seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
+            k = self._device_key(base_key, ctr, 0)
+            batch, pos_map = sampler.sample_fn(csr, seeds, pos_map, k)
+            x = feats[jnp.clip(batch.node_ids, 0, feats.shape[0] - 1)]
+            y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
+            valid = seeds >= 0
+
+            def loss_fn(p):
+                logits = model.apply(p, x, batch, train=True,
+                                     rng=jax.random.fold_in(k, 7))
+                return _masked_ce(logits, y, valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, DP_AXES)
+            loss = jax.lax.pmean(loss, DP_AXES)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, pos_map[None], ctr + 1, loss
+
+        sm = _shard_map(
+            step, self.mesh,
+            in_specs=(P(), P(), DP, P(), P(), DPN, P(), P(), P()),
+            out_specs=(P(), P(), DP, P(), P()))
+        return jax.jit(sm, donate_argnums=(0, 1, 2, 3))
+
+    def _build_eval_step(self, n_steps: int, ctr_name: str):
+        sampler, model = self.sampler_e, self.model_e
+        bs = self.config.sampler.eval_batch_size
+
+        def step(params, pos_map, ctr, correct, total, base_key, bank, csr,
+                 feats, labels):
+            pos_map, bank = pos_map[0], bank[0]
+            lid = ctr % n_steps
+            seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
+            k = self._device_key(base_key, ctr, 1)
+            batch, pos_map = sampler.sample_fn(csr, seeds, pos_map, k)
+            x = feats[jnp.clip(batch.node_ids, 0, feats.shape[0] - 1)]
+            y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
+            valid = seeds >= 0
+            logits = model.apply(params, x, batch, train=False)
+            pred = jnp.argmax(logits, axis=-1)
+            c = jnp.sum((pred == y) & valid, dtype=jnp.int32)
+            t = jnp.sum(valid, dtype=jnp.int32)
+            c = jax.lax.psum(c, DP_AXES)
+            t = jax.lax.psum(t, DP_AXES)
+            return pos_map[None], ctr + 1, correct + c, total + t
+
+        sm = _shard_map(
+            step, self.mesh,
+            in_specs=(P(), DP, P(), P(), P(), P(), DPN, P(), P(), P()),
+            out_specs=(DP, P(), P(), P()))
+        jitted = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
+
+        def run(state: Dict, bank) -> Dict:
+            pos_map, ctr, correct, total = jitted(
+                state["params"], state["pos_map"], state[ctr_name],
+                state["correct"], state["total"], state["base_key"], bank,
+                self.csr, self.features, self.labels)
+            return dict(state, pos_map=pos_map, correct=correct,
+                        total=total, **{ctr_name: ctr})
+
+        return run
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
+        params, opt_state, pos_map, ctr, loss = self._train_step(
+            state["params"], state["opt_state"], state["pos_map"],
+            state["train_ctr"], state["base_key"], self.train_bank,
+            self.csr, self.features, self.labels)
+        return dict(state, params=params, opt_state=opt_state,
+                    pos_map=pos_map, train_ctr=ctr), loss
+
+    def _reset_metrics(self, state: Dict) -> Dict:
+        # two distinct buffers — both are donated by the eval step
+        rep = NamedSharding(self.mesh, P())
+        return dict(state,
+                    correct=jax.device_put(jnp.zeros((), jnp.int32), rep),
+                    total=jax.device_put(jnp.int32(0) + 0, rep))
+
+    def run_eval(self, state: Dict, mode: Mode) -> Tuple[Dict, float]:
+        state = self._reset_metrics(state)
+        bank = self.valid_bank if mode == Mode.VALID else self.test_bank
+        n = self.schedule.valid_step if mode == Mode.VALID \
+            else self.schedule.test_step
+        stepper = self._eval_steps[mode]
+        for _ in range(n):
+            state = stepper(state, bank)
+        acc = float(state["correct"]) / max(float(state["total"]), 1.0)
+        return state, acc
+
+    # ------------------------------------------------------------------
+    def fit(self, state: Optional[Dict] = None, verbose: bool = True
+            ) -> Tuple[Dict, List[EpochStats]]:
+        """Run the full reference schedule: per epoch train then valid;
+        test once at the end (ipc_service.cu:213-253). Prints epoch wall
+        time and accuracies like legion_graphsage.py:158-180."""
+        if state is None:
+            state = self.init_state()
+        sch = self.schedule
+        stats: List[EpochStats] = []
+        for epoch in range(sch.epochs):
+            t0 = time.time()
+            losses = []
+            for _ in range(sch.train_step):
+                state, loss = self.train_step(state)
+                losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses \
+                else float("nan")
+            state, acc = self.run_eval(state, Mode.VALID)
+            dt = time.time() - t0
+            stats.append(EpochStats(epoch, train_loss, acc, dt))
+            if verbose:
+                print(f"Epoch {epoch:03d} | time {dt:.2f}s | "
+                      f"loss {train_loss:.4f} | val acc {acc:.4f}")
+        state, self.test_acc = self.run_eval(state, Mode.TEST)
+        if verbose:
+            print(f"Test acc {self.test_acc:.4f}")
+        return state, stats

@@ -1,0 +1,79 @@
+"""End-to-end training tests on the virtual 8-device CPU mesh: schedule
+parity, loss decreases, accuracy beats chance, DP equivalence."""
+
+import jax
+import numpy as np
+import pytest
+
+from legion_tpu.config import (CacheConfig, LegionConfig, MeshConfig,
+                               SamplerConfig, TrainConfig)
+from legion_tpu.pipeline import Mode, Schedule
+from legion_tpu.train import Trainer
+
+
+def test_schedule_matches_reference_formulas():
+    # ipc_service.cu:60-132
+    sch = Schedule.build(train_sizes=[10000, 12000], valid_sizes=[900, 1100],
+                         test_sizes=[700, 500], batch_size=1000, epochs=2)
+    assert sch.train_step == (10000 - 1) // 1000  # min partition, drop last
+    assert sch.valid_step == (1100 - 1) // 512 + 1
+    assert sch.valid_batch_sizes == tuple(
+        (s - 1) // sch.valid_step + 1 for s in (900, 1100))
+    assert sch.test_step == (700 - 1) // 512 + 1
+    assert sch.max_step == (sch.train_step + sch.valid_step) * 2 \
+        + sch.test_step
+    # mode interleaving: train then valid within each epoch, test at end
+    modes = [sch.mode_of(i) for i in range(sch.max_step)]
+    per = sch.train_step + sch.valid_step
+    assert modes[:sch.train_step] == [Mode.TRAIN] * sch.train_step
+    assert modes[sch.train_step:per] == [Mode.VALID] * sch.valid_step
+    assert modes[-sch.test_step:] == [Mode.TEST] * sch.test_step
+    assert sch.local_id_of(sch.train_step) == 0  # first valid step
+
+
+def _config(ds, n_dev=1, epochs=2, model="graphsage", batch=None):
+    if batch is None:
+        batch = max(16, 64 // n_dev)
+    return LegionConfig(
+        dataset=ds.meta,
+        sampler=SamplerConfig(fanouts=(4, 3), batch_size=batch,
+                              eval_batch_size=64),
+        cache=CacheConfig(),
+        train=TrainConfig(model=model, hidden_dim=32, epochs=epochs,
+                          dropout=0.2),
+        mesh=MeshConfig.for_devices(n_dev),
+    )
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_training_learns(small_dataset, n_dev):
+    ds = small_dataset
+    cfg = _config(ds, n_dev=n_dev, epochs=8)
+    trainer = Trainer(ds, cfg)
+    state, stats = trainer.fit(verbose=False)
+    assert stats[-1].train_loss < stats[0].train_loss * 0.5
+    # synthetic communities + prototype features: must beat 1/5 chance well
+    assert stats[-1].valid_acc > 0.7, stats
+    assert trainer.test_acc > 0.7
+
+
+def test_dp_grad_equivalence(small_dataset):
+    """Same global seed set split over 1 vs 2 devices must produce similar
+    training (not identical — different RNG streams — but both learn)."""
+    ds = small_dataset
+    t1 = Trainer(ds, _config(ds, n_dev=1, epochs=4))
+    t2 = Trainer(ds, _config(ds, n_dev=2, epochs=4))
+    _, s1 = t1.fit(verbose=False)
+    _, s2 = t2.fit(verbose=False)
+    assert s1[-1].valid_acc > 0.4
+    assert s2[-1].valid_acc > 0.4
+
+
+def test_gcn_and_gat_train(small_dataset):
+    ds = small_dataset
+    for model in ("gcn", "gat"):
+        cfg = _config(ds, n_dev=2, epochs=6, model=model)
+        trainer = Trainer(ds, cfg)
+        state, stats = trainer.fit(verbose=False)
+        assert np.isfinite(stats[-1].train_loss), model
+        assert stats[-1].valid_acc > 0.4, (model, stats)
