@@ -57,8 +57,8 @@ def main():
     cfg = LegionConfig(
         dataset=ds.meta,
         sampler=SamplerConfig(fanouts=tuple(args.fanouts),
-                              batch_size=args.batch),
-        cache=CacheConfig(),
+                              batch_size=args.batch, auto_compact=True),
+        cache=CacheConfig(presample_steps=4),
         train=TrainConfig(model=args.model, hidden_dim=args.hidden,
                           epochs=1),
         mesh=MeshConfig.for_devices(1),

@@ -28,9 +28,22 @@ int64 note: billion-edge graphs need 64-bit CSR offsets; we enable JAX x64
 at import and keep all floating point math explicitly float32/bfloat16.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: sampler/train-step programs at production
+# shapes take minutes to compile (XLA TPU scatter lowering is heavy); cache
+# executables across processes. Override location with LEGION_TPU_CACHE_DIR,
+# disable with LEGION_TPU_CACHE_DIR="".
+_cache_dir = _os.environ.get(
+    "LEGION_TPU_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "legion_tpu_xla"))
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from legion_tpu.config import (  # noqa: E402
     DatasetMeta,

@@ -29,11 +29,14 @@ def presample_hotness(sampler: NeighborSampler, csr: DeviceCSR,
     edge_access, max_unique_nodes).
 
     seed_bank: [num_steps * batch] device array (-1 padded), like the
-    trainer's train bank. max_unique_nodes mirrors the reference's MaxIdNum
-    used to size the steady-state feature buffer (server.cu:275-283).
+    trainer's train bank. The returned max_unique_nodes is the PER-HOP
+    vector of maxima over batch.num_nodes — the reference's MaxIdNum used
+    to size the steady-state feature buffer at 1.2x the observed need
+    (server.cu:275-283); we use it for per-hop buffer caps.
     """
     V = sampler.num_nodes
     bs = sampler.config.batch_size
+    L = sampler.config.num_hops
 
     def body(carry, lid):
         pos_map, na, ea, mx = carry
@@ -41,13 +44,13 @@ def presample_hotness(sampler: NeighborSampler, csr: DeviceCSR,
         k = jax.random.fold_in(key, lid)
         batch, pos_map, na, ea = sampler.presample_fn(
             csr, seeds, pos_map, k, na, ea)
-        mx = jnp.maximum(mx, batch.num_nodes[-1])
+        mx = jnp.maximum(mx, batch.num_nodes)
         return (pos_map, na, ea, mx), None
 
     init = (sampler.init_state(),
             jnp.zeros((V,), jnp.int32),
             jnp.zeros((V,), jnp.int32),
-            jnp.int32(0))
+            jnp.zeros((L + 1,), jnp.int32))
     (pos_map, na, ea, mx), _ = jax.lax.scan(
         body, init, jnp.arange(num_steps, dtype=jnp.int32))
     return na, ea, mx

@@ -70,6 +70,7 @@ def _build_topo_cache(csr_indptr: jax.Array, csr_indices: jax.Array,
     return sub_indptr, sub_indices, row_map
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class UnifiedCache:
     """Device-resident unified cache (single cache group member)."""
@@ -81,6 +82,15 @@ class UnifiedCache:
     row_map: Optional[jax.Array]        # [V] int32, -1 = miss
     feature_capacity: int
     topo_capacity: int
+
+    def tree_flatten(self):
+        return ((self.cache_rows, self.slot_map, self.sub_indptr,
+                 self.sub_indices, self.row_map),
+                (self.feature_capacity, self.topo_capacity))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, feature_capacity=aux[0], topo_capacity=aux[1])
 
     @classmethod
     def build(cls, plan: CostModelResult, features: jax.Array,
@@ -97,6 +107,51 @@ class UnifiedCache:
             sub_indptr, sub_indices, row_map = _build_topo_cache(
                 csr.indptr.astype(jnp.int64), csr.indices,
                 plan.topo_order, plan.topo_capacity, max(edge_budget, 1))
+        return cls(cache_rows=cache_rows, slot_map=slot_map,
+                   sub_indptr=sub_indptr, sub_indices=sub_indices,
+                   row_map=row_map,
+                   feature_capacity=plan.feature_capacity,
+                   topo_capacity=plan.topo_capacity)
+
+    @classmethod
+    def build_from_host(cls, plan: CostModelResult,
+                        host_features: Optional[np.ndarray],
+                        host_indptr: Optional[np.ndarray],
+                        host_indices: Optional[np.ndarray],
+                        num_nodes: int) -> "UnifiedCache":
+        """FillUp from host-resident storage: hot feature rows and the hot
+        sub-CSR are gathered on host (native runtime) and shipped to HBM
+        once — the analog of FeatFillUp/TopoFillUp's H2D copies
+        (cache_impl.cuh:183-188, graph_storage_impl.cuh:27-53)."""
+        from legion_tpu import native
+        cache_rows = slot_map = None
+        sub_indptr = sub_indices = row_map = None
+        V = num_nodes
+        if plan.feature_capacity > 0 and host_features is not None:
+            qf = np.asarray(plan.feature_order[:plan.feature_capacity],
+                            np.int32)
+            rows = native.gather_rows(
+                np.ascontiguousarray(host_features, np.float32), qf)
+            cache_rows = jax.device_put(rows)
+            slot_map = jnp.full((V,), -1, jnp.int32).at[
+                jnp.asarray(qf)].set(
+                jnp.arange(plan.feature_capacity, dtype=jnp.int32))
+        if plan.topo_capacity > 0 and host_indptr is not None:
+            qt = np.asarray(plan.topo_order[:plan.topo_capacity], np.int64)
+            deg = host_indptr[qt + 1] - host_indptr[qt]
+            offs = np.cumsum(deg)
+            starts = offs - deg
+            total = int(offs[-1]) if len(offs) else 0
+            j = np.arange(total, dtype=np.int64)
+            row = np.searchsorted(offs, j, side="right")
+            src_pos = host_indptr[qt[row]] + (j - starts[row])
+            sub_idx = np.asarray(host_indices)[src_pos].astype(np.int32)
+            sub_ip = np.concatenate([[0], offs]).astype(np.int64)
+            sub_indptr = jax.device_put(sub_ip)
+            sub_indices = jax.device_put(sub_idx)
+            row_map = jnp.full((V,), -1, jnp.int32).at[
+                jnp.asarray(qt)].set(
+                jnp.arange(plan.topo_capacity, dtype=jnp.int32))
         return cls(cache_rows=cache_rows, slot_map=slot_map,
                    sub_indptr=sub_indptr, sub_indices=sub_indices,
                    row_map=row_map,
@@ -124,11 +179,34 @@ class FeatureSource:
         raise NotImplementedError
 
 
+class _HostRef:
+    """Identity-hashed holder for host numpy arrays in pytree aux data."""
+
+    __slots__ = ("array",)
+
+    def __init__(self, array):
+        self.array = array
+
+    def __hash__(self):
+        return id(self.array)
+
+    def __eq__(self, other):
+        return isinstance(other, _HostRef) and other.array is self.array
+
+
+@jax.tree_util.register_pytree_node_class
 class DeviceFeatureSource(FeatureSource):
     """All features in HBM (graphs that fit — reference in-memory mode)."""
 
     def __init__(self, features: jax.Array):
         self.features = features
+
+    def tree_flatten(self):
+        return (self.features,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
 
     def fetch(self, ids):
         rows = self.features[jnp.clip(ids, 0, self.features.shape[0] - 1)]
@@ -136,6 +214,7 @@ class DeviceFeatureSource(FeatureSource):
         return rows, n
 
 
+@jax.tree_util.register_pytree_node_class
 class CachedFeatureSource(FeatureSource):
     """HBM hot-row cache + host-memory fallback.
 
@@ -150,11 +229,16 @@ class CachedFeatureSource(FeatureSource):
         self.host = host_features  # np [V, F] float32 (mmap ok)
         self.feat_dim = host_features.shape[1]
 
+    def tree_flatten(self):
+        return (self.cache,), _HostRef(self.host)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux.array)
+
     def _host_gather(self, ids: np.ndarray) -> np.ndarray:
-        out = np.zeros((ids.shape[0], self.feat_dim), np.float32)
-        mask = ids >= 0
-        out[mask] = self.host[ids[mask]]
-        return out
+        from legion_tpu import native
+        return native.gather_rows(self.host, np.asarray(ids, np.int32))
 
     def fetch(self, ids):
         slot, hit = self.cache.find_feat(ids)

@@ -106,30 +106,64 @@ class SamplerConfig:
     # validation/test batches use 512 seeds per step like the reference
     # (ipc_service.cu:91-115)
     eval_batch_size: int = 512
+    # Optional measured caps on cumulative unique nodes per hop (length
+    # num_hops+1, caps[0] == batch_size). The reference sizes its
+    # steady-state feature buffer at 1.2 x the presampled MaxIdNum instead
+    # of the worst case (server.cu:275-283); setting node_caps does the
+    # same here and shrinks every downstream buffer (ids, feature gather,
+    # per-layer activations, edge lists). Overflowing nodes are dropped
+    # (masked), not overflowed.
+    node_caps: Optional[Tuple[int, ...]] = None
+    # auto-measure node_caps from a presampling pass (Trainer)
+    auto_compact: bool = False
 
     @property
     def num_hops(self) -> int:
         return len(self.fanouts)
 
-    def frontier_sizes(self) -> Tuple[int, ...]:
-        """Static max frontier size per hop: f_k = batch * prod(fanouts[:k]).
-
-        Mirrors the worst-case id-buffer sizing in server.cu:188-199.
-        """
+    def _worst_frontier(self) -> Tuple[int, ...]:
         sizes = [self.batch_size]
         for f in self.fanouts[:-1]:
             sizes.append(sizes[-1] * f)
         return tuple(sizes)
+
+    def frontier_sizes(self) -> Tuple[int, ...]:
+        """Static max frontier size per hop: min(batch * prod(fanouts[:k]),
+        measured cap on new nodes at hop k-1).
+
+        Mirrors the worst-case id-buffer sizing in server.cu:188-199, tight-
+        ened by node_caps when present.
+        """
+        worst = self._worst_frontier()
+        if self.node_caps is None:
+            return worst
+        caps = self.node_caps
+        out = [self.batch_size]
+        for k in range(1, self.num_hops):
+            new_max = caps[k] - (caps[k - 1] if k >= 1 else 0)
+            out.append(min(worst[k], max(new_max, 1)))
+        return tuple(out)
 
     def edge_counts(self) -> Tuple[int, ...]:
         """Static max edges emitted per hop."""
         fs = self.frontier_sizes()
         return tuple(fs[k] * self.fanouts[k] for k in range(self.num_hops))
 
+    def cum_sizes(self) -> Tuple[int, ...]:
+        """S[k] = static bound on unique nodes after hop k."""
+        worst = [self.batch_size]
+        for e in self.edge_counts():
+            worst.append(worst[-1] + e)
+        if self.node_caps is None:
+            return tuple(worst)
+        assert len(self.node_caps) == self.num_hops + 1, self.node_caps
+        assert self.node_caps[0] >= self.batch_size
+        return tuple(min(w, c) for w, c in zip(worst, self.node_caps))
+
     @property
     def max_ids(self) -> int:
-        """Worst-case unique node count (server.cu:188-199)."""
-        return self.batch_size + sum(self.edge_counts())
+        """Static unique-node bound (worst case, or the measured cap)."""
+        return self.cum_sizes()[-1]
 
 
 @dataclass(frozen=True)
@@ -145,6 +179,17 @@ class CacheConfig:
     alpha_step: float = 0.01
     # presampling steps used to measure hotness; 0 => one full train epoch
     presample_steps: int = 0
+    # where the authoritative storage lives: "hbm" (fits on chip, reference
+    # in-memory mode) or "host" (host RAM = the pinned-UVA analog; HBM holds
+    # only the hot cache)
+    feature_residency: str = "hbm"
+    topo_residency: str = "hbm"
+
+    @property
+    def enabled(self) -> bool:
+        return self.cache_bytes > 0 and (
+            self.feature_residency == "host"
+            or self.topo_residency == "host")
 
     @property
     def group_size(self) -> int:

@@ -24,11 +24,10 @@ from legion_tpu.config import SamplerConfig, TrainConfig
 
 
 def static_cum_sizes(cfg: SamplerConfig) -> Tuple[int, ...]:
-    """S[k] = max unique nodes after hop k; S[0]=batch, S[L]=max_ids."""
-    s = [cfg.batch_size]
-    for e in cfg.edge_counts():
-        s.append(s[-1] + e)
-    return tuple(s)
+    """S[k] = static bound on unique nodes after hop k; S[0]=batch,
+    S[L]=max_ids. Tightened by measured node_caps when present (the
+    reference's 1.2 x MaxIdNum buffer sizing, server.cu:275-283)."""
+    return cfg.cum_sizes()
 
 
 def xavier_uniform(key: jax.Array, shape: Tuple[int, ...],

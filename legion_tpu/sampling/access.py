@@ -1,0 +1,154 @@
+"""Graph access strategies for the sampler.
+
+The reference's random_sample kernel reads adjacency from three places
+(operator_impl.cu:224-243): the local GPU's cached sub-CSR, a peer GPU's
+cached sub-CSR over NVLink, or the pinned-host full CSR over UVA/PCIe. On
+TPU these become access strategies behind one interface:
+
+  DeviceCSRAccess : full CSR in HBM (in-memory mode)
+  CachedTopoAccess: hot sub-CSR in HBM (UnifiedCache) + batched host
+                    neighbor sampling for misses via pure_callback — the
+                    UVA-fallback analog. The host draws the neighbors
+                    directly (uniform with replacement) so shapes stay
+                    static and host work is O(misses x fanout).
+
+Multi-chip peer reads over ICI live in the cache layer's collective path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legion_tpu.graph import DeviceCSR
+
+
+def _gather(arr, idx, valid, fill):
+    safe = jnp.clip(idx, 0, arr.shape[0] - 1)
+    return jnp.where(valid, arr[safe], fill)
+
+
+class GraphAccess:
+    """Interface: draw `fanout` neighbors per frontier vertex."""
+
+    num_nodes: int
+
+    def sample_neighbors(self, frontier: jax.Array, fanout: int,
+                         key: jax.Array) -> jax.Array:
+        """frontier [F] int32 (-1 pad) -> neighbors [F*fanout] int32, -1
+        where the frontier slot is invalid or the vertex has no edges."""
+        raise NotImplementedError
+
+
+class _HostRef:
+    """Identity-hashed holder so host numpy arrays can ride in pytree aux
+    data (static under jit)."""
+
+    __slots__ = ("array",)
+
+    def __init__(self, array):
+        self.array = array
+
+    def __hash__(self):
+        return id(self.array)
+
+    def __eq__(self, other):
+        return isinstance(other, _HostRef) and other.array is self.array
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceCSRAccess(GraphAccess):
+    def __init__(self, csr: DeviceCSR):
+        self.csr = csr
+        self.num_nodes = csr.num_nodes
+
+    def tree_flatten(self):
+        return (self.csr,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    def sample_neighbors(self, frontier, fanout, key):
+        csr = self.csr
+        fvalid = frontier >= 0
+        row_start = _gather(csr.indptr, frontier, fvalid, 0)
+        row_end = _gather(csr.indptr[1:], frontier, fvalid, 0)
+        deg = jnp.where(fvalid, (row_end - row_start).astype(jnp.int32), 0)
+        F = frontier.shape[0]
+        r = jax.random.randint(key, (F, fanout), 0,
+                               jnp.maximum(deg, 1)[:, None],
+                               dtype=jnp.int32)
+        nbr_pos = row_start[:, None] + r.astype(row_start.dtype)
+        nbr = _gather(self.csr.indices, nbr_pos.reshape(-1),
+                      jnp.repeat(deg > 0, fanout), -1)
+        return nbr
+
+
+@jax.tree_util.register_pytree_node_class
+class CachedTopoAccess(GraphAccess):
+    """Hot sub-CSR in HBM + host fallback draws.
+
+    Parity: topo_cache_hit + random_sample cached branch
+    (cache_impl.cuh:89-101, operator_impl.cu:224-243); host fallback =
+    the UVA slot [partition_count] branch.
+    """
+
+    def __init__(self, row_map: jax.Array, sub_indptr: jax.Array,
+                 sub_indices: jax.Array, host_indptr: np.ndarray,
+                 host_indices: np.ndarray):
+        self.row_map = row_map
+        self.sub_indptr = sub_indptr
+        self.sub_indices = sub_indices
+        self.host_indptr = host_indptr
+        self.host_indices = host_indices
+        self.num_nodes = int(row_map.shape[0])
+
+    def tree_flatten(self):
+        return ((self.row_map, self.sub_indptr, self.sub_indices),
+                (_HostRef(self.host_indptr), _HostRef(self.host_indices)))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0].array,
+                   aux[1].array)
+
+    def _host_draw(self, frontier: np.ndarray, fanout: int,
+                   seed: np.ndarray) -> np.ndarray:
+        from legion_tpu import native
+        return native.sample_neighbors(
+            self.host_indptr, self.host_indices,
+            np.asarray(frontier, np.int32), int(fanout), int(seed))
+
+    def sample_neighbors(self, frontier, fanout, key):
+        F = frontier.shape[0]
+        fvalid = frontier >= 0
+        row = _gather(self.row_map, frontier, fvalid, -1)
+        hit = row >= 0
+
+        # cached branch
+        rowc = jnp.clip(row, 0, self.sub_indptr.shape[0] - 2)
+        rs = self.sub_indptr[rowc]
+        re = self.sub_indptr[rowc + 1]
+        deg = jnp.where(hit, (re - rs).astype(jnp.int32), 0)
+        r = jax.random.randint(key, (F, fanout), 0,
+                               jnp.maximum(deg, 1)[:, None],
+                               dtype=jnp.int32)
+        nbr_pos = rs[:, None] + r.astype(rs.dtype)
+        nbr_hit = _gather(self.sub_indices, nbr_pos.reshape(-1),
+                          jnp.repeat(deg > 0, fanout), -1
+                          ).reshape(F, fanout)
+
+        # host branch: one batched callback for the misses
+        miss_frontier = jnp.where(hit, -1, frontier)
+        seed = jax.random.randint(jax.random.fold_in(key, 1), (), 0,
+                                  jnp.iinfo(jnp.int32).max, jnp.int32)
+        nbr_miss = jax.pure_callback(
+            lambda f, s: self._host_draw(f, fanout, s),
+            jax.ShapeDtypeStruct((F, fanout), jnp.int32),
+            miss_frontier, seed, vmap_method="sequential")
+        nbr = jnp.where(hit[:, None], nbr_hit, nbr_miss)
+        return nbr.reshape(-1)

@@ -104,7 +104,14 @@ class NeighborSampler:
         self.num_nodes = num_nodes
         self.frontier_sizes = config.frontier_sizes()
         self.edge_sizes = config.edge_counts()
+        self.cum_caps = config.cum_sizes()
         self.max_ids = config.max_ids
+        self.capped = config.node_caps is not None
+        # with measured caps the ids buffer needs slack so frontier slices
+        # never clamp back into filled territory
+        slack = max(self.frontier_sizes[1:], default=0) if self.capped \
+            else 0
+        self.ids_len = self.max_ids + slack
 
     def init_state(self) -> jax.Array:
         """Fresh position map; INT32_MAX = unseen."""
@@ -151,6 +158,12 @@ class NeighborSampler:
                      pos_map: jax.Array, key: jax.Array, with_hotness: bool,
                      node_access: Optional[jax.Array] = None,
                      edge_access: Optional[jax.Array] = None):
+        from legion_tpu.sampling.access import DeviceCSRAccess, GraphAccess
+        if isinstance(csr, DeviceCSR):
+            access: GraphAccess = DeviceCSRAccess(csr)
+        else:
+            access = csr
+
         cfg = self.config
         V = self.num_nodes
         batch_size = cfg.batch_size
@@ -158,7 +171,7 @@ class NeighborSampler:
         seeds = seeds.astype(jnp.int32)
         L = cfg.num_hops
 
-        ids = jnp.full((self.max_ids,), -1, dtype=jnp.int32)
+        ids = jnp.full((self.ids_len,), -1, dtype=jnp.int32)
         ids = ids.at[:batch_size].set(seeds)
 
         seed_valid = seeds >= 0
@@ -181,24 +194,14 @@ class NeighborSampler:
             frontier = jax.lax.dynamic_slice(ids, (frontier_off,), (F_k,))
             fvalid = frontier >= 0
 
-            row_start = _gather(csr.indptr, frontier, fvalid, 0)
-            row_end = _gather(csr.indptr[1:], frontier, fvalid, 0)
-            deg = (row_end - row_start).astype(jnp.int32)
-            deg = jnp.where(fvalid, deg, 0)
-
             if with_hotness:
                 # adjacency-read hotness for expanded frontier nodes
                 edge_access = edge_access.at[
                     jnp.where(fvalid, frontier, V)].add(1, mode="drop")
 
             hop_key = jax.random.fold_in(key, k)
-            r = jax.random.randint(hop_key, (F_k, fanout), 0,
-                                   jnp.maximum(deg, 1)[:, None],
-                                   dtype=jnp.int32)
-            nbr_pos = row_start[:, None] + r.astype(row_start.dtype)
-            nbr = _gather(csr.indices, nbr_pos.reshape(-1),
-                          jnp.repeat(deg > 0, fanout), -1)
-            cand = nbr  # [E_k] global ids, -1 where frontier pad / deg 0
+            cand = access.sample_neighbors(frontier, fanout, hop_key)
+            # cand: [E_k] global ids, -1 where frontier pad / deg 0
             e_dst_g = jnp.repeat(frontier, fanout)
             e_valid = cand >= 0
 
@@ -212,18 +215,29 @@ class NeighborSampler:
             won = is_new & (_gather(pos_map, cand, is_new, -1) == claim)
             rank = jnp.cumsum(won, dtype=jnp.int32) - 1
             local_new = cum + rank
-            n_new = jnp.sum(won, dtype=jnp.int32)
-            pos_map = pos_map.at[jnp.where(won, cand, V)].set(
+            cap_k = self.cum_caps[k + 1]
+            kept = won & (local_new < cap_k)
+            n_new = jnp.sum(kept, dtype=jnp.int32)
+            pos_map = pos_map.at[jnp.where(kept, cand, V)].set(
                 local_new, mode="drop")
-            ids = ids.at[jnp.where(won, local_new, self.max_ids)].set(
+            ids = ids.at[jnp.where(kept, local_new, self.ids_len)].set(
                 cand, mode="drop")
+            if self.capped:
+                # winners beyond the measured cap were dropped: clear their
+                # claim tags so later hops (and the next batch) stay clean
+                t2 = _gather(pos_map, cand, e_valid, -1)
+                stale = e_valid & (t2 >= _CLAIM_BASE)
+                pos_map = pos_map.at[jnp.where(stale, cand, V)].set(
+                    INT32_MAX, mode="drop")
 
             # --- construct_graph: map endpoints to local indices ---
-            src_l = _gather(pos_map, cand, e_valid, -1)
-            dst_l = _gather(pos_map, e_dst_g, e_valid, -1)
+            src_l = _gather(pos_map, cand, e_valid, INT32_MAX)
+            src_l = jnp.where(src_l == INT32_MAX, -1, src_l)
+            e_ok = src_l >= 0
+            dst_l = _gather(pos_map, e_dst_g, e_ok, -1)
             edge_src_l.append(src_l)
             edge_dst_l.append(dst_l)
-            num_edges.append(jnp.sum(e_valid, dtype=jnp.int32))
+            num_edges.append(jnp.sum(e_ok, dtype=jnp.int32))
 
             frontier_off = cum
             cum = cum + n_new

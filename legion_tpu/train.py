@@ -102,18 +102,10 @@ class Trainer:
         rep = NamedSharding(self.mesh, P())
         dpn = NamedSharding(self.mesh, DPN)
 
-        # --- device-resident storage (replicated; cache modes come from
-        # legion_tpu.cache for graphs that exceed HBM) ---
+        # --- seed sets ---
         if hasattr(dataset, "device_arrays"):
-            # dataset already provides device-resident arrays
-            self.csr, self.features, self.labels = dataset.device_arrays()
             train_sets, valid_sets, test_sets = dataset.seed_sets(self.n_dev)
         else:
-            self.csr = dataset.graph.to_device(rep)
-            self.features = jax.device_put(
-                np.asarray(dataset.features, np.float32), rep)
-            self.labels = jax.device_put(
-                np.asarray(dataset.labels[:V], np.int32), rep)
             train_sets = [dataset.seeds_for_partition("train", d, self.n_dev)
                           for d in range(self.n_dev)]
             valid_sets = [dataset.seeds_for_partition("valid", d, self.n_dev)
@@ -141,12 +133,20 @@ class Trainer:
                         scfg.eval_batch_size, list(sch.test_batch_sizes)),
             dpn)
 
-        # --- samplers + models (train vs eval shapes) ---
+        # --- samplers (the train sampler may be rebuilt with measured
+        # buffer caps by _setup_storage's presampling) ---
         self.sampler_t = NeighborSampler(scfg, V)
-        eval_scfg = replace(scfg, batch_size=scfg.eval_batch_size)
+        eval_scfg = replace(scfg, batch_size=scfg.eval_batch_size,
+                            node_caps=None, auto_compact=False)
         self.sampler_e = NeighborSampler(eval_scfg, V)
-        self.model_t = make_model(config.train, scfg, meta.feature_dim,
-                                  meta.num_classes)
+
+        # --- storage residency + PreSc (presample -> caps -> cost model ->
+        # cache FillUp), reference server.cu:90-117 ---
+        self._setup_storage(rep)
+
+        # --- models (shapes follow the final sampler configs) ---
+        self.model_t = make_model(config.train, self.sampler_t.config,
+                                  meta.feature_dim, meta.num_classes)
         self.model_e = make_model(config.train, eval_scfg, meta.feature_dim,
                                   meta.num_classes)
         self.tx = optax.adam(config.train.lr)
@@ -157,6 +157,126 @@ class Trainer:
             Mode.TEST: self._build_eval_step(sch.test_step, "test_ctr"),
         }
         self.test_acc: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    def _setup_storage(self, rep) -> None:
+        """Decide residency and run the PreSc pipeline when needed:
+        presample hotness/buffer-sizing -> measured node caps -> cost
+        model -> cache FillUp -> cached access paths
+        (reference: server.cu:90-117, cache.cu:360-611)."""
+        from legion_tpu.cache import plan_cache, presample_hotness
+        from legion_tpu.cache.unified_cache import (
+            CachedFeatureSource, DeviceFeatureSource, UnifiedCache)
+        from legion_tpu.sampling.access import (CachedTopoAccess,
+                                                DeviceCSRAccess)
+
+        dataset, config = self.dataset, self.config
+        meta = dataset.meta
+        V = meta.num_nodes
+        scfg = config.sampler
+        cache_cfg = config.cache
+        self.cache_plan = None
+        self.compact_caps = None
+
+        device_ds = hasattr(dataset, "device_arrays")
+        feat_host = cache_cfg.enabled and \
+            cache_cfg.feature_residency == "host"
+        topo_host = cache_cfg.enabled and cache_cfg.topo_residency == "host"
+        host_indptr = host_indices = host_feats = None
+        dev_feats = None
+
+        if device_ds:
+            assert not cache_cfg.enabled, (
+                "host-cached storage needs a host dataset")
+            self.csr, dev_feats, self.labels = dataset.device_arrays()
+            base_access = DeviceCSRAccess(self.csr)
+            degrees = self.csr.degrees()
+        else:
+            self.labels = jax.device_put(
+                np.asarray(dataset.labels[:V], np.int32), rep)
+            host_indptr = np.asarray(dataset.graph.indptr)
+            host_indices = np.asarray(dataset.graph.indices)
+            host_feats = np.ascontiguousarray(dataset.features, np.float32)
+            if topo_host:
+                # presampling reads adjacency from host memory, matching
+                # the reference's UVA pre_sample (operator_impl.cu:301-397)
+                self.csr = None
+                base_access = CachedTopoAccess(
+                    row_map=jnp.full((V,), -1, jnp.int32),
+                    sub_indptr=jnp.zeros((2,), jnp.int64),
+                    sub_indices=jnp.full((1,), -1, jnp.int32),
+                    host_indptr=host_indptr, host_indices=host_indices)
+                degrees = jnp.asarray(
+                    (host_indptr[1:] - host_indptr[:-1]).astype(np.int32))
+            else:
+                self.csr = dataset.graph.to_device(rep)
+                base_access = DeviceCSRAccess(self.csr)
+                degrees = self.csr.degrees()
+
+        want_compact = scfg.auto_compact and scfg.node_caps is None
+        na = ea = None
+        if cache_cfg.enabled or want_compact:
+            if cache_cfg.enabled:
+                assert self.n_dev == 1, (
+                    "host-cached storage is single-device for now; clique "
+                    "cache aggregation lands with the collective cache "
+                    "path")
+            steps = cache_cfg.presample_steps or self.schedule.train_step
+            steps = max(1, min(steps, self.schedule.train_step))
+            na, ea, mx = presample_hotness(
+                self.sampler_t, base_access, self.train_bank[0], steps,
+                jax.random.PRNGKey(config.train.seed + 17))
+            if want_compact:
+                mxv = np.asarray(mx)
+                caps = [scfg.batch_size]
+                for k in range(1, len(mxv)):
+                    # 1.2x headroom like InitializeFeaturesBuffer
+                    # (server.cu:277), rounded up to lane multiples
+                    c = max(int(mxv[k] * 1.2) + 8, caps[-1] + 1)
+                    caps.append(-(-c // 128) * 128)
+                scfg = replace(scfg, node_caps=tuple(caps))
+                self.sampler_t = NeighborSampler(scfg, V)
+                self.compact_caps = tuple(caps)
+
+        if not cache_cfg.enabled:
+            self.graph_access = base_access
+            if device_ds:
+                self.feature_source = DeviceFeatureSource(dev_feats)
+            else:
+                self.feature_source = DeviceFeatureSource(
+                    jax.device_put(host_feats, rep))
+            return
+
+        # topology hotness only matters if topology actually needs caching
+        ea_eff = ea if topo_host else jnp.zeros_like(ea)
+        na_eff = na if feat_host else jnp.zeros_like(na)
+        plan = plan_cache(na_eff, ea_eff, degrees, cache_cfg.cache_bytes,
+                          meta.feature_dim, cache_cfg.alpha_step,
+                          cache_cfg.group_size)
+        self.cache_plan = plan
+        cache = UnifiedCache.build_from_host(
+            plan, host_feats if feat_host else None,
+            host_indptr if topo_host else None,
+            host_indices if topo_host else None, V)
+
+        if topo_host:
+            self.graph_access = CachedTopoAccess(
+                cache.row_map if cache.row_map is not None
+                else jnp.full((V,), -1, jnp.int32),
+                cache.sub_indptr if cache.sub_indptr is not None
+                else jnp.zeros((2,), jnp.int64),
+                cache.sub_indices if cache.sub_indices is not None
+                else jnp.full((1,), -1, jnp.int32),
+                host_indptr, host_indices)
+        else:
+            self.graph_access = DeviceCSRAccess(self.csr)
+        if feat_host:
+            assert cache.slot_map is not None, (
+                "feature cache budget resolved to zero rows")
+            self.feature_source = CachedFeatureSource(cache, host_feats)
+        else:
+            self.feature_source = DeviceFeatureSource(jax.device_put(
+                host_feats, rep))
 
     # ------------------------------------------------------------------
     def init_state(self, key: Optional[jax.Array] = None) -> Dict:
@@ -191,14 +311,14 @@ class Trainer:
         bs = self.config.sampler.batch_size
         n_steps = self.schedule.train_step
 
-        def step(params, opt_state, pos_map, ctr, base_key, bank, csr,
-                 feats, labels):
+        def step(params, opt_state, pos_map, ctr, base_key, bank, access,
+                 fsource, labels):
             pos_map, bank = pos_map[0], bank[0]
             lid = ctr % n_steps
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, 0)
-            batch, pos_map = sampler.sample_fn(csr, seeds, pos_map, k)
-            x = feats[jnp.clip(batch.node_ids, 0, feats.shape[0] - 1)]
+            batch, pos_map = sampler.sample_fn(access, seeds, pos_map, k)
+            x, feat_hits = fsource.fetch(batch.node_ids)
             y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
             valid = seeds >= 0
 
@@ -212,26 +332,27 @@ class Trainer:
             loss = jax.lax.pmean(loss, DP_AXES)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, pos_map[None], ctr + 1, loss
+            return params, opt_state, pos_map[None], ctr + 1, loss, \
+                jax.lax.psum(feat_hits, DP_AXES)
 
         sm = _shard_map(
             step, self.mesh,
             in_specs=(P(), P(), DP, P(), P(), DPN, P(), P(), P()),
-            out_specs=(P(), P(), DP, P(), P()))
+            out_specs=(P(), P(), DP, P(), P(), P()))
         return jax.jit(sm, donate_argnums=(0, 1, 2, 3))
 
     def _build_eval_step(self, n_steps: int, ctr_name: str):
         sampler, model = self.sampler_e, self.model_e
         bs = self.config.sampler.eval_batch_size
 
-        def step(params, pos_map, ctr, correct, total, base_key, bank, csr,
-                 feats, labels):
+        def step(params, pos_map, ctr, correct, total, base_key, bank,
+                 access, fsource, labels):
             pos_map, bank = pos_map[0], bank[0]
             lid = ctr % n_steps
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, 1)
-            batch, pos_map = sampler.sample_fn(csr, seeds, pos_map, k)
-            x = feats[jnp.clip(batch.node_ids, 0, feats.shape[0] - 1)]
+            batch, pos_map = sampler.sample_fn(access, seeds, pos_map, k)
+            x, _ = fsource.fetch(batch.node_ids)
             y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
             valid = seeds >= 0
             logits = model.apply(params, x, batch, train=False)
@@ -252,7 +373,7 @@ class Trainer:
             pos_map, ctr, correct, total = jitted(
                 state["params"], state["pos_map"], state[ctr_name],
                 state["correct"], state["total"], state["base_key"], bank,
-                self.csr, self.features, self.labels)
+                self.graph_access, self.feature_source, self.labels)
             return dict(state, pos_map=pos_map, correct=correct,
                         total=total, **{ctr_name: ctr})
 
@@ -260,10 +381,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
-        params, opt_state, pos_map, ctr, loss = self._train_step(
+        params, opt_state, pos_map, ctr, loss, feat_hits = self._train_step(
             state["params"], state["opt_state"], state["pos_map"],
             state["train_ctr"], state["base_key"], self.train_bank,
-            self.csr, self.features, self.labels)
+            self.graph_access, self.feature_source, self.labels)
+        self.last_feat_hits = feat_hits
         return dict(state, params=params, opt_state=opt_state,
                     pos_map=pos_map, train_ctr=ctr), loss
 

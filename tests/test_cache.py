@@ -26,13 +26,18 @@ def hot_setup(small_dataset):
     bank[:n] = ds.train_ids[:n]
     na, ea, mx = presample_hotness(sampler, csr, jnp.asarray(bank), steps,
                                    jax.random.PRNGKey(0))
-    return ds, cfg, csr, sampler, np.asarray(na), np.asarray(ea), int(mx)
+    return ds, cfg, csr, sampler, np.asarray(na), np.asarray(ea), \
+        np.asarray(mx)
 
 
 def test_hotness_totals(hot_setup):
     ds, cfg, csr, sampler, na, ea, mx = hot_setup
     assert na.sum() > 0 and ea.sum() > 0
-    assert 0 < mx <= cfg.max_ids
+    # per-hop maxima are monotone and bounded by the static sizes
+    assert mx.shape == (cfg.num_hops + 1,)
+    assert (np.diff(mx) >= 0).all()
+    assert 0 < mx[-1] <= cfg.max_ids
+    assert mx[0] == 32  # full seed batches
     # hot destinations (high in-degree hubs) should be hotter than median
     indeg = np.bincount(ds.graph.indices, minlength=ds.meta.num_nodes)
     hub = np.argsort(indeg)[-10:]
