@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--model", default="graphsage")
     ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--dedup", default="map", choices=["map", "sort"])
     args = ap.parse_args()
 
     import jax
@@ -57,7 +58,8 @@ def main():
     cfg = LegionConfig(
         dataset=ds.meta,
         sampler=SamplerConfig(fanouts=tuple(args.fanouts),
-                              batch_size=args.batch, auto_compact=True),
+                              batch_size=args.batch, auto_compact=True,
+                              dedup=args.dedup),
         cache=CacheConfig(presample_steps=4),
         train=TrainConfig(model=args.model, hidden_dim=args.hidden,
                           epochs=1),

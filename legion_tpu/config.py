@@ -116,6 +116,11 @@ class SamplerConfig:
     node_caps: Optional[Tuple[int, ...]] = None
     # auto-measure node_caps from a presampling pass (Trainer)
     auto_compact: bool = False
+    # dedup strategy: "map" = O(E) scatters into a [V] position map
+    # (Legion's algorithm, operator_impl.cu bitmap+position_map); "sort" =
+    # sort-based dedup with NO O(V) state — scales to billion-vertex
+    # graphs and avoids large-scatter costs on TPU
+    dedup: str = "map"
 
     @property
     def num_hops(self) -> int:

@@ -20,27 +20,34 @@ import jax.numpy as jnp
 from legion_tpu.config import SamplerConfig
 from legion_tpu.models.common import dropout, static_cum_sizes, \
     xavier_uniform
-from legion_tpu.ops import gather_rows, masked_segment_sum, segment_softmax
+from legion_tpu.ops import gather_rows
+from legion_tpu.ops.hop_agg import hop_softmax_attention, place_rows
 from legion_tpu.sampling import SampleBatch
 
 
 def gat_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
-                    edge_dst: jax.Array, num_dst: int,
+                    fanout: int, hop_offset: jax.Array, num_dst: int,
                     negative_slope: float = 0.2,
                     attn_drop: float = 0.0, train: bool = False,
                     rng: Optional[jax.Array] = None) -> jax.Array:
-    """One multi-head GATConv. Returns [num_dst, heads, d_out]."""
+    """One multi-head GATConv. Returns [num_dst, heads, d_out].
+
+    The SDDMM scores and the per-dst softmax run densely per frontier row
+    ([F, fanout, H]) thanks to the sampler's structured edge layout.
+    """
     H, d_out = params["attn_l"].shape
     z = (h_src @ params["w"].reshape(h_src.shape[1], H * d_out)
          ).reshape(-1, H, d_out)
     el = jnp.sum(z * params["attn_l"][None], axis=-1)  # [N_src, H]
     er = jnp.sum(z * params["attn_r"][None], axis=-1)
-    e = gather_rows(el, edge_src) + gather_rows(er, edge_dst)  # [E, H]
+    F = edge_src.shape[0] // fanout
+    # dst of lane (i, f) is frontier row i at position hop_offset + i
+    er_dst = jax.lax.dynamic_slice(
+        er, (jnp.asarray(hop_offset, jnp.int32), jnp.int32(0)), (F, H))
+    e = gather_rows(el, edge_src).reshape(F, fanout, H) + er_dst[:, None]
     e = jax.nn.leaky_relu(e, negative_slope)
-    alpha = segment_softmax(e, edge_dst, num_dst)
-    alpha = dropout(alpha, attn_drop, rng, train)
-    msgs = gather_rows(z, edge_src) * alpha[:, :, None]
-    out = masked_segment_sum(msgs, edge_dst, num_dst)
+    out = hop_softmax_attention(z, e, edge_src, fanout, hop_offset,
+                                num_dst, attn_drop, train, rng)
     return out + params["b"][None]
 
 
@@ -91,7 +98,8 @@ class GAT:
                 kf = ka = None
             h = dropout(h, self.feat_drop, kf, train)
             out = gat_layer_apply(params["layers"][i], h[:self.S[k + 1]],
-                                  batch.edge_src[k], batch.edge_dst[k],
+                                  batch.edge_src[k], self.cfg.fanouts[k],
+                                  batch.hop_offsets[k],
                                   self.S[k], self.negative_slope,
                                   self.attn_drop, train, ka)
             if i != L - 1:

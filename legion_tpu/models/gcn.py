@@ -19,27 +19,29 @@ import jax.numpy as jnp
 from legion_tpu.config import SamplerConfig
 from legion_tpu.models.common import dropout, static_cum_sizes, \
     xavier_uniform
-from legion_tpu.ops import gather_rows, masked_segment_sum
+from legion_tpu.ops import masked_segment_sum
+from legion_tpu.ops.hop_agg import hop_neighbor_sum
 from legion_tpu.sampling import SampleBatch
 
 
 def gcn_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
-                    edge_dst: jax.Array, num_dst: int) -> jax.Array:
+                    fanout: int, hop_offset: jax.Array, num_dst: int
+                    ) -> jax.Array:
     n_src = h_src.shape[0]
-    valid = edge_dst >= 0
+    valid = edge_src >= 0
     ones = jnp.ones(edge_src.shape, dtype=h_src.dtype)
-    out_deg = masked_segment_sum(ones, jnp.where(valid, edge_src, -1), n_src)
-    in_deg = masked_segment_sum(ones, edge_dst, num_dst)
+    # block-local out-degree needs a true segment-sum (src order is
+    # unstructured); in-degree falls out of the dense hop aggregation
+    out_deg = masked_segment_sum(ones, jnp.where(valid, edge_src, -1),
+                                 n_src)
     inv_sqrt_out = jnp.where(out_deg > 0, jax.lax.rsqrt(
         jnp.maximum(out_deg, 1)), 0)
+
+    hw = h_src @ params["w"]
+    agg, in_deg = hop_neighbor_sum(hw * inv_sqrt_out[:, None], edge_src,
+                                   fanout, hop_offset, num_dst)
     inv_sqrt_in = jnp.where(in_deg > 0, jax.lax.rsqrt(
         jnp.maximum(in_deg, 1)), 0)
-
-    # right-multiply by W on the smaller side first (DGL does the same
-    # in/out-dim trick); here we always project messages first
-    hw = h_src @ params["w"]
-    msgs = gather_rows(hw * inv_sqrt_out[:, None], edge_src)
-    agg = masked_segment_sum(msgs, edge_dst, num_dst)
     out = agg * inv_sqrt_in[:, None]
     return out + params["b"]
 
@@ -73,8 +75,8 @@ class GCN:
         for i in range(L):
             k = L - 1 - i
             h = gcn_layer_apply(params["layers"][i], h[:self.S[k + 1]],
-                                batch.edge_src[k], batch.edge_dst[k],
-                                self.S[k])
+                                batch.edge_src[k], self.cfg.fanouts[k],
+                                batch.hop_offsets[k], self.S[k])
             if i != L - 1:
                 h = jax.nn.relu(h)
                 if rng is not None:

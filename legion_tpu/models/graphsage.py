@@ -22,16 +22,21 @@ import jax.numpy as jnp
 from legion_tpu.config import SamplerConfig
 from legion_tpu.models.common import dropout, static_cum_sizes, \
     xavier_uniform
-from legion_tpu.ops import gather_rows, masked_segment_mean
+from legion_tpu.ops.hop_agg import hop_neighbor_mean
 from legion_tpu.sampling import SampleBatch
 
 
 def sage_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
-                     edge_dst: jax.Array, num_dst: int) -> jax.Array:
-    """One SAGEConv(mean) layer. h_src: [N_src, d_in] -> [num_dst, d_out]."""
+                     fanout: int, hop_offset: jax.Array, num_dst: int
+                     ) -> jax.Array:
+    """One SAGEConv(mean) layer. h_src: [N_src, d_in] -> [num_dst, d_out].
+
+    Neighbor mean uses the scatter-free dense hop aggregation
+    (ops/hop_agg.py) enabled by the sampler's structured edge layout.
+    """
     h_dst = h_src[:num_dst]
-    msgs = gather_rows(h_src, edge_src)
-    h_neigh = masked_segment_mean(msgs, edge_dst, num_dst)
+    h_neigh = hop_neighbor_mean(h_src, edge_src, fanout, hop_offset,
+                                num_dst)
     out = h_dst @ params["w_self"] + h_neigh @ params["w_neigh"]
     return out + params["b"]
 
@@ -71,8 +76,8 @@ class GraphSAGE:
         for i in range(L):
             k = L - 1 - i  # layer i aggregates hop k's edges
             h = sage_layer_apply(params["layers"][i], h[:self.S[k + 1]],
-                                 batch.edge_src[k], batch.edge_dst[k],
-                                 self.S[k])
+                                 batch.edge_src[k], self.cfg.fanouts[k],
+                                 batch.hop_offsets[k], self.S[k])
             if i != L - 1:
                 h = jax.nn.relu(h)
                 if rng is not None:

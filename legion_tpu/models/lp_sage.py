@@ -56,8 +56,8 @@ class LinkPredSAGE:
         for i in range(L):
             k = L - 1 - i
             h = sage_layer_apply(params["layers"][i], h[:self.S[k + 1]],
-                                 batch.edge_src[k], batch.edge_dst[k],
-                                 self.S[k])
+                                 batch.edge_src[k], self.cfg.fanouts[k],
+                                 batch.hop_offsets[k], self.S[k])
             if i != L - 1:
                 h = jax.nn.relu(h)
                 if rng is not None:

@@ -68,10 +68,16 @@ class SampleBatch:
     edge_src: Tuple[jax.Array, ...]  # per hop [E_k] int32 local idx, -1 pad
     edge_dst: Tuple[jax.Array, ...]  # per hop [E_k] int32 local idx, -1 pad
     num_edges: jax.Array           # [L] int32 valid edges per hop
+    # hop_offsets[k] = first local index of hop k's frontier. Hop-k edges
+    # occupy fanout-contiguous lanes per frontier slot with
+    # dst == hop_offsets[k] + lane // fanout — models exploit this to
+    # aggregate with dense reshape-reductions instead of scatters (the
+    # structural consequence of the reference's frontier rule).
+    hop_offsets: jax.Array         # [L] int32
 
     def tree_flatten(self):
         return ((self.node_ids, self.num_nodes, self.edge_src, self.edge_dst,
-                 self.num_edges), None)
+                 self.num_edges, self.hop_offsets), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -112,10 +118,20 @@ class NeighborSampler:
         slack = max(self.frontier_sizes[1:], default=0) if self.capped \
             else 0
         self.ids_len = self.max_ids + slack
+        assert config.dedup in ("map", "sort"), config.dedup
+        self.sort_dedup = config.dedup == "sort"
+
+    @property
+    def state_size(self) -> int:
+        """Length of the per-replica sampler state vector: the [V] position
+        map for "map" dedup; a 1-element dummy for the stateless "sort"
+        strategy."""
+        return 1 if self.sort_dedup else self.num_nodes
 
     def init_state(self) -> jax.Array:
-        """Fresh position map; INT32_MAX = unseen."""
-        return jnp.full((self.num_nodes,), INT32_MAX, dtype=jnp.int32)
+        """Fresh sampler state (position map for "map" dedup; dummy for
+        "sort"); INT32_MAX = unseen."""
+        return jnp.full((self.state_size,), INT32_MAX, dtype=jnp.int32)
 
     def sample_fn(self, csr: DeviceCSR, seeds: jax.Array, pos_map: jax.Array,
                   key: jax.Array) -> Tuple[SampleBatch, jax.Array]:
@@ -154,6 +170,91 @@ class NeighborSampler:
         return self.presample_fn(csr, seeds, pos_map, key, node_access,
                                  edge_access)
 
+    def _dedup_map(self, cand, e_valid, cum, ids, pos_map, k, V):
+        """Legion's dedup: claim/resolve scatter passes over the [V]
+        position map (functional form of the atomicOr bitmap +
+        position_map protocol, operator_impl.cu:244-279)."""
+        E_k = cand.shape[0]
+        cur = _gather(pos_map, cand, e_valid, INT32_MAX)
+        is_new = e_valid & (cur == INT32_MAX)
+        lane = jnp.arange(E_k, dtype=jnp.int32)
+        claim = _CLAIM_BASE + lane
+        pos_map = pos_map.at[jnp.where(is_new, cand, V)].min(
+            claim, mode="drop")
+        won = is_new & (_gather(pos_map, cand, is_new, -1) == claim)
+        rank = jnp.cumsum(won, dtype=jnp.int32) - 1
+        local_new = cum + rank
+        cap_k = self.cum_caps[k + 1]
+        kept = won & (local_new < cap_k)
+        n_new = jnp.sum(kept, dtype=jnp.int32)
+        pos_map = pos_map.at[jnp.where(kept, cand, V)].set(
+            local_new, mode="drop")
+        ids = ids.at[jnp.where(kept, local_new, self.ids_len)].set(
+            cand, mode="drop")
+        if self.capped:
+            # winners beyond the measured cap were dropped: clear their
+            # claim tags so later hops (and the next batch) stay clean
+            t2 = _gather(pos_map, cand, e_valid, -1)
+            stale = e_valid & (t2 >= _CLAIM_BASE)
+            pos_map = pos_map.at[jnp.where(stale, cand, V)].set(
+                INT32_MAX, mode="drop")
+        src_l = _gather(pos_map, cand, e_valid, INT32_MAX)
+        src_l = jnp.where(src_l == INT32_MAX, -1, src_l)
+        return src_l, n_new, ids, pos_map
+
+    def _dedup_sort(self, cand, e_valid, cum, ids, dd_state, k,
+                    last_hop: bool):
+        """Sort-based dedup: NO O(V) state. Stable-sort the candidates,
+        detect first-occurrence runs, match against the running sorted set
+        of already-assigned ids, assign contiguous local positions to new
+        uniques (sorted order within a hop), and unsort. Scales to
+        billion-vertex graphs where a position map would not fit, and
+        replaces large scatters with TPU-friendly sorts."""
+        sorted_ids, sorted_pos = dd_state
+        E_k = cand.shape[0]
+        cap_k = self.cum_caps[k + 1]
+        N_s = sorted_ids.shape[0]
+
+        lane = jnp.arange(E_k, dtype=jnp.int32)
+        skey = jnp.where(e_valid, cand, INT32_MAX)
+        s, si = jax.lax.sort_key_val(skey, lane, is_stable=True)
+        valid_s = s != INT32_MAX
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s[:-1]])
+        first = valid_s & (s != prev)
+
+        # membership against already-assigned ids (concat-sort search)
+        j = jnp.searchsorted(sorted_ids, s, method="sort")
+        j_c = jnp.clip(j, 0, N_s - 1)
+        old = valid_s & (sorted_ids[j_c] == s)
+        old_pos = sorted_pos[j_c]
+
+        new_first = first & ~old
+        # run-constant rank: new_first fires only at run starts, so the
+        # cumsum is constant across each run's lanes
+        rank = jnp.cumsum(new_first, dtype=jnp.int32) - 1
+        pos_new = cum + rank
+        keep = valid_s & (old | ((~old) & (pos_new < cap_k)))
+        pos_sorted = jnp.where(old, old_pos, pos_new)
+        pos_sorted = jnp.where(keep, pos_sorted, -1)
+
+        # unsort to lane order (si is a permutation -> unique indices)
+        src_l = jnp.zeros((E_k,), jnp.int32).at[si].set(
+            pos_sorted, unique_indices=True)
+
+        newsel = new_first & (pos_new < cap_k)
+        n_new = jnp.sum(newsel, dtype=jnp.int32)
+        ids = ids.at[jnp.where(newsel, pos_new, self.ids_len)].set(
+            s, mode="drop")
+
+        if not last_hop:
+            merged_ids = jnp.concatenate(
+                [sorted_ids, jnp.where(newsel, s, INT32_MAX)])
+            merged_pos = jnp.concatenate(
+                [sorted_pos, jnp.where(newsel, pos_new, 0)])
+            m_ids, m_pos = jax.lax.sort_key_val(merged_ids, merged_pos)
+            dd_state = (m_ids[:N_s], m_pos[:N_s])
+        return src_l, n_new, ids, dd_state
+
     def _sample_impl(self, csr: DeviceCSR, seeds: jax.Array,
                      pos_map: jax.Array, key: jax.Array, with_hotness: bool,
                      node_access: Optional[jax.Array] = None,
@@ -176,16 +277,27 @@ class NeighborSampler:
 
         seed_valid = seeds >= 0
         n_seeds = jnp.sum(seed_valid, dtype=jnp.int32)
-        # register seeds: pos_map[seed] = slot   (batch_generate :27-55)
-        seed_scatter = jnp.where(seed_valid, seeds, V)
-        pos_map = pos_map.at[seed_scatter].set(
-            jnp.arange(batch_size, dtype=jnp.int32), mode="drop")
+        # register seeds (batch_generate :27-55)
+        if self.sort_dedup:
+            skey = jnp.where(seed_valid, seeds, INT32_MAX)
+            ss, sp = jax.lax.sort_key_val(
+                skey, jnp.arange(batch_size, dtype=jnp.int32))
+            sorted_ids = jnp.full((self.max_ids,), INT32_MAX,
+                                  jnp.int32).at[:batch_size].set(ss)
+            sorted_pos = jnp.zeros((self.max_ids,),
+                                   jnp.int32).at[:batch_size].set(sp)
+            dd_state = (sorted_ids, sorted_pos)
+        else:
+            seed_scatter = jnp.where(seed_valid, seeds, V)
+            pos_map = pos_map.at[seed_scatter].set(
+                jnp.arange(batch_size, dtype=jnp.int32), mode="drop")
 
         cum = n_seeds
         frontier_off = jnp.int32(0)
         num_nodes = [n_seeds]
         num_edges = []
         edge_src_l, edge_dst_l = [], []
+        hop_offsets = []
 
         for k in range(L):
             F_k = self.frontier_sizes[k]
@@ -193,6 +305,7 @@ class NeighborSampler:
             fanout = cfg.fanouts[k]
             frontier = jax.lax.dynamic_slice(ids, (frontier_off,), (F_k,))
             fvalid = frontier >= 0
+            hop_offsets.append(frontier_off)
 
             if with_hotness:
                 # adjacency-read hotness for expanded frontier nodes
@@ -202,39 +315,22 @@ class NeighborSampler:
             hop_key = jax.random.fold_in(key, k)
             cand = access.sample_neighbors(frontier, fanout, hop_key)
             # cand: [E_k] global ids, -1 where frontier pad / deg 0
-            e_dst_g = jnp.repeat(frontier, fanout)
             e_valid = cand >= 0
 
-            # --- dedup via two scatter passes over the position map ---
-            cur = _gather(pos_map, cand, e_valid, INT32_MAX)
-            is_new = e_valid & (cur == INT32_MAX)
-            lane = jnp.arange(E_k, dtype=jnp.int32)
-            claim = _CLAIM_BASE + lane
-            pos_map = pos_map.at[jnp.where(is_new, cand, V)].min(
-                claim, mode="drop")
-            won = is_new & (_gather(pos_map, cand, is_new, -1) == claim)
-            rank = jnp.cumsum(won, dtype=jnp.int32) - 1
-            local_new = cum + rank
-            cap_k = self.cum_caps[k + 1]
-            kept = won & (local_new < cap_k)
-            n_new = jnp.sum(kept, dtype=jnp.int32)
-            pos_map = pos_map.at[jnp.where(kept, cand, V)].set(
-                local_new, mode="drop")
-            ids = ids.at[jnp.where(kept, local_new, self.ids_len)].set(
-                cand, mode="drop")
-            if self.capped:
-                # winners beyond the measured cap were dropped: clear their
-                # claim tags so later hops (and the next batch) stay clean
-                t2 = _gather(pos_map, cand, e_valid, -1)
-                stale = e_valid & (t2 >= _CLAIM_BASE)
-                pos_map = pos_map.at[jnp.where(stale, cand, V)].set(
-                    INT32_MAX, mode="drop")
+            if self.sort_dedup:
+                src_l, n_new, ids, dd_state = self._dedup_sort(
+                    cand, e_valid, cum, ids, dd_state, k,
+                    last_hop=(k == L - 1))
+            else:
+                src_l, n_new, ids, pos_map = self._dedup_map(
+                    cand, e_valid, cum, ids, pos_map, k, V)
 
-            # --- construct_graph: map endpoints to local indices ---
-            src_l = _gather(pos_map, cand, e_valid, INT32_MAX)
-            src_l = jnp.where(src_l == INT32_MAX, -1, src_l)
+            # --- construct_graph: local indices. dst falls out of the
+            # structured layout: lane (i, f) targets frontier row i at
+            # position frontier_off + i ---
             e_ok = src_l >= 0
-            dst_l = _gather(pos_map, e_dst_g, e_ok, -1)
+            lane = jnp.arange(E_k, dtype=jnp.int32)
+            dst_l = jnp.where(e_ok, frontier_off + lane // fanout, -1)
             edge_src_l.append(src_l)
             edge_dst_l.append(dst_l)
             num_edges.append(jnp.sum(e_ok, dtype=jnp.int32))
@@ -247,9 +343,10 @@ class NeighborSampler:
             node_access = node_access.at[
                 jnp.where(ids >= 0, ids, V)].add(1, mode="drop")
 
-        # ClearPosMap: reset only touched entries
-        pos_map = pos_map.at[jnp.where(ids >= 0, ids, V)].set(
-            INT32_MAX, mode="drop")
+        if not self.sort_dedup:
+            # ClearPosMap: reset only touched entries
+            pos_map = pos_map.at[jnp.where(ids >= 0, ids, V)].set(
+                INT32_MAX, mode="drop")
 
         batch = SampleBatch(
             node_ids=ids,
@@ -257,5 +354,6 @@ class NeighborSampler:
             edge_src=tuple(edge_src_l),
             edge_dst=tuple(edge_dst_l),
             num_edges=jnp.stack(num_edges),
+            hop_offsets=jnp.stack(hop_offsets),
         )
         return batch, pos_map, node_access, edge_access

@@ -151,6 +151,12 @@ class Trainer:
                                   meta.num_classes)
         self.tx = optax.adam(config.train.lr)
 
+        self.is_lp = config.train.model == "lp_sage"
+        if self.is_lp:
+            assert scfg.batch_size % 3 == 0 and \
+                scfg.eval_batch_size % 3 == 0, (
+                    "lp_sage batches are (anchor, pos, neg) thirds "
+                    "(lp_sage.py:86-97)")
         self._train_step = self._build_train_step()
         self._eval_steps = {
             Mode.VALID: self._build_eval_step(sch.valid_step, "valid_ctr"),
@@ -177,6 +183,8 @@ class Trainer:
         cache_cfg = config.cache
         self.cache_plan = None
         self.compact_caps = None
+        self._use_clique = False
+        self.member_rows = jnp.zeros((1, 1, 1), jnp.float32)
 
         device_ds = hasattr(dataset, "device_arrays")
         feat_host = cache_cfg.enabled and \
@@ -213,14 +221,17 @@ class Trainer:
                 base_access = DeviceCSRAccess(self.csr)
                 degrees = self.csr.degrees()
 
+        Kg = self.mesh.shape["member"]
+        use_clique = feat_host and Kg > 1
         want_compact = scfg.auto_compact and scfg.node_caps is None
         na = ea = None
         if cache_cfg.enabled or want_compact:
-            if cache_cfg.enabled:
-                assert self.n_dev == 1, (
-                    "host-cached storage is single-device for now; clique "
-                    "cache aggregation lands with the collective cache "
-                    "path")
+            if cache_cfg.enabled and self.n_dev > 1:
+                assert use_clique and not topo_host, (
+                    "multi-device cached storage currently supports "
+                    "host features via the clique-aggregated cache with "
+                    "HBM topology; host topology + multi-device lands "
+                    "later")
             steps = cache_cfg.presample_steps or self.schedule.train_step
             steps = max(1, min(steps, self.schedule.train_step))
             na, ea, mx = presample_hotness(
@@ -252,8 +263,26 @@ class Trainer:
         na_eff = na if feat_host else jnp.zeros_like(na)
         plan = plan_cache(na_eff, ea_eff, degrees, cache_cfg.cache_bytes,
                           meta.feature_dim, cache_cfg.alpha_step,
-                          cache_cfg.group_size)
+                          group_size=Kg)
         self.cache_plan = plan
+
+        if use_clique:
+            # clique-aggregated interleaved feature cache over the member
+            # axis (cache_impl.cuh:104-109); peer reads ride ICI
+            from legion_tpu.cache.collective import (CliqueFeatureCache,
+                                                     build_clique_cache)
+            slot_map, member_rows, R = build_clique_cache(
+                np.asarray(plan.feature_order), plan.feature_capacity,
+                host_feats, Kg)
+            self.member_rows = jax.device_put(
+                member_rows,
+                NamedSharding(self.mesh, P("member", None, None)))
+            self.feature_source = CliqueFeatureCache(
+                jax.device_put(jnp.asarray(slot_map), rep), host_feats,
+                Kg, R)
+            self._use_clique = True
+            self.graph_access = DeviceCSRAccess(self.csr)
+            return
         cache = UnifiedCache.build_from_host(
             plan, host_feats if feat_host else None,
             host_indptr if topo_host else None,
@@ -287,12 +316,14 @@ class Trainer:
         params = jax.device_put(self.model_t.init(key), rep)
         opt_state = jax.device_put(self.tx.init(params), rep)
         pos_map = jax.device_put(
-            np.full((self.n_dev, self.dataset.meta.num_nodes),
+            np.full((self.n_dev, self.sampler_t.state_size),
                     np.iinfo(np.int32).max, np.int32), dp)
         z = lambda: jax.device_put(np.int32(0), rep)
+        mdt = np.float32 if getattr(self, "is_lp", False) else np.int32
+        zm = lambda: jax.device_put(mdt(0), rep)
         return {"params": params, "opt_state": opt_state,
                 "pos_map": pos_map, "train_ctr": z(), "valid_ctr": z(),
-                "test_ctr": z(), "correct": z(), "total": z(),
+                "test_ctr": z(), "correct": zm(), "total": zm(),
                 "base_key": jax.device_put(
                     jax.random.PRNGKey(self.config.train.seed + 1), rep)}
 
@@ -311,21 +342,31 @@ class Trainer:
         bs = self.config.sampler.batch_size
         n_steps = self.schedule.train_step
 
+        use_clique = self._use_clique
+
         def step(params, opt_state, pos_map, ctr, base_key, bank, access,
-                 fsource, labels):
+                 fsource, member_rows, labels):
             pos_map, bank = pos_map[0], bank[0]
             lid = ctr % n_steps
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, 0)
             batch, pos_map = sampler.sample_fn(access, seeds, pos_map, k)
-            x, feat_hits = fsource.fetch(batch.node_ids)
+            if use_clique:
+                x, feat_hits = fsource.fetch(batch.node_ids, member_rows[0])
+            else:
+                x, feat_hits = fsource.fetch(batch.node_ids)
             y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
             valid = seeds >= 0
 
-            def loss_fn(p):
-                logits = model.apply(p, x, batch, train=True,
-                                     rng=jax.random.fold_in(k, 7))
-                return _masked_ce(logits, y, valid)
+            if self.is_lp:
+                def loss_fn(p):
+                    return model.loss(p, x, batch, valid, train=True,
+                                      rng=jax.random.fold_in(k, 7))
+            else:
+                def loss_fn(p):
+                    logits = model.apply(p, x, batch, train=True,
+                                         rng=jax.random.fold_in(k, 7))
+                    return _masked_ce(logits, y, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = jax.lax.pmean(grads, DP_AXES)
@@ -335,9 +376,10 @@ class Trainer:
             return params, opt_state, pos_map[None], ctr + 1, loss, \
                 jax.lax.psum(feat_hits, DP_AXES)
 
+        mr_spec = P("member", None, None) if use_clique else P()
         sm = _shard_map(
             step, self.mesh,
-            in_specs=(P(), P(), DP, P(), P(), DPN, P(), P(), P()),
+            in_specs=(P(), P(), DP, P(), P(), DPN, P(), P(), mr_spec, P()),
             out_specs=(P(), P(), DP, P(), P(), P()))
         return jax.jit(sm, donate_argnums=(0, 1, 2, 3))
 
@@ -345,16 +387,31 @@ class Trainer:
         sampler, model = self.sampler_e, self.model_e
         bs = self.config.sampler.eval_batch_size
 
+        use_clique = self._use_clique
+
         def step(params, pos_map, ctr, correct, total, base_key, bank,
-                 access, fsource, labels):
+                 access, fsource, member_rows, labels):
             pos_map, bank = pos_map[0], bank[0]
             lid = ctr % n_steps
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, 1)
             batch, pos_map = sampler.sample_fn(access, seeds, pos_map, k)
-            x, _ = fsource.fetch(batch.node_ids)
+            if use_clique:
+                x, _ = fsource.fetch(batch.node_ids, member_rows[0])
+            else:
+                x, _ = fsource.fetch(batch.node_ids)
             y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
             valid = seeds >= 0
+            if self.is_lp:
+                # validation metric is mean link-prediction loss, like the
+                # reference's valid_one_step (lp_sage.py:99-115,206-215)
+                loss = model.loss(params, x, batch, valid, train=False)
+                t = jnp.sum(valid[: bs // 3], dtype=jnp.int32)
+                c = loss * t.astype(jnp.float32)
+                c = jax.lax.psum(c, DP_AXES)
+                t = jax.lax.psum(t, DP_AXES)
+                return pos_map[None], ctr + 1, correct + c, \
+                    total + t.astype(jnp.float32)
             logits = model.apply(params, x, batch, train=False)
             pred = jnp.argmax(logits, axis=-1)
             c = jnp.sum((pred == y) & valid, dtype=jnp.int32)
@@ -363,9 +420,11 @@ class Trainer:
             t = jax.lax.psum(t, DP_AXES)
             return pos_map[None], ctr + 1, correct + c, total + t
 
+        mr_spec = P("member", None, None) if use_clique else P()
         sm = _shard_map(
             step, self.mesh,
-            in_specs=(P(), DP, P(), P(), P(), P(), DPN, P(), P(), P()),
+            in_specs=(P(), DP, P(), P(), P(), P(), DPN, P(), P(), mr_spec,
+                      P()),
             out_specs=(DP, P(), P(), P()))
         jitted = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
 
@@ -373,7 +432,8 @@ class Trainer:
             pos_map, ctr, correct, total = jitted(
                 state["params"], state["pos_map"], state[ctr_name],
                 state["correct"], state["total"], state["base_key"], bank,
-                self.graph_access, self.feature_source, self.labels)
+                self.graph_access, self.feature_source, self.member_rows,
+                self.labels)
             return dict(state, pos_map=pos_map, correct=correct,
                         total=total, **{ctr_name: ctr})
 
@@ -384,7 +444,8 @@ class Trainer:
         params, opt_state, pos_map, ctr, loss, feat_hits = self._train_step(
             state["params"], state["opt_state"], state["pos_map"],
             state["train_ctr"], state["base_key"], self.train_bank,
-            self.graph_access, self.feature_source, self.labels)
+            self.graph_access, self.feature_source, self.member_rows,
+            self.labels)
         self.last_feat_hits = feat_hits
         return dict(state, params=params, opt_state=opt_state,
                     pos_map=pos_map, train_ctr=ctr), loss
@@ -392,9 +453,10 @@ class Trainer:
     def _reset_metrics(self, state: Dict) -> Dict:
         # two distinct buffers — both are donated by the eval step
         rep = NamedSharding(self.mesh, P())
+        dt = jnp.float32 if self.is_lp else jnp.int32
         return dict(state,
-                    correct=jax.device_put(jnp.zeros((), jnp.int32), rep),
-                    total=jax.device_put(jnp.int32(0) + 0, rep))
+                    correct=jax.device_put(jnp.zeros((), dt), rep),
+                    total=jax.device_put(jnp.zeros((), dt) + 0, rep))
 
     def run_eval(self, state: Dict, mode: Mode) -> Tuple[Dict, float]:
         state = self._reset_metrics(state)

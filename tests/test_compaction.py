@@ -45,12 +45,13 @@ def _invariants(batch, caps):
         assert (dst[~ok] == -1).all()
 
 
-def test_tiny_caps_force_drops(small_dataset):
+@pytest.mark.parametrize("dedup", ["map", "sort"])
+def test_tiny_caps_force_drops(small_dataset, dedup):
     """Caps far below the worst case must truncate cleanly: dedup, edge
     masking, pos_map cleanup all hold."""
     ds = small_dataset
     cfg = SamplerConfig(fanouts=(5, 3), batch_size=32,
-                        node_caps=(32, 64, 100))
+                        node_caps=(32, 64, 100), dedup=dedup)
     sampler = NeighborSampler(cfg, ds.meta.num_nodes)
     csr = ds.graph.to_device()
     seeds = jnp.asarray(ds.train_ids[:32], jnp.int32)

@@ -14,10 +14,11 @@ from legion_tpu.sampling import NeighborSampler
 INT32_MAX = np.iinfo(np.int32).max
 
 
-@pytest.fixture(scope="module")
-def setup(small_dataset):
+@pytest.fixture(scope="module", params=["map", "sort"])
+def setup(request, small_dataset):
     ds = small_dataset
-    cfg = SamplerConfig(fanouts=(5, 3), batch_size=32)
+    cfg = SamplerConfig(fanouts=(5, 3), batch_size=32,
+                        dedup=request.param)
     csr = ds.graph.to_device()
     sampler = NeighborSampler(cfg, ds.meta.num_nodes)
     return ds, cfg, csr, sampler
