@@ -59,6 +59,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.lg_convert_edgelist.restype = ctypes.c_int
     lib.lg_convert_edgelist.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.lg_partition_ldg.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -134,6 +137,27 @@ def edges_to_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
         indptr.ctypes.data_as(ctypes.c_void_p),
         indices.ctypes.data_as(ctypes.c_void_p))
     return indptr, indices[:kept].copy()
+
+
+def partition_ldg(indptr: np.ndarray, indices: np.ndarray, n_parts: int,
+                  passes: int = 2) -> np.ndarray:
+    """Streaming LDG graph partitioning -> [V] int32 partition ids.
+    Replaces the reference's external MPI XtraPuLP step
+    (graph_partitioning.py:104-138)."""
+    V = indptr.shape[0] - 1
+    out = np.empty(V, np.int32)
+    lib = _load()
+    if lib is None:
+        # NumPy fallback: plain hash partition (still valid, worse cut)
+        out[:] = np.arange(V, dtype=np.int64) % n_parts
+        return out
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    lib.lg_partition_ldg(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p), V, n_parts, passes,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out
 
 
 def convert_edgelist(in_path: str, out_dir: str):

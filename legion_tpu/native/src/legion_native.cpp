@@ -148,6 +148,44 @@ int64_t lg_file_size(const char* path) {
   return st.st_size;
 }
 
+// Streaming Linear Deterministic Greedy (LDG) partitioner. Plays the role
+// of the reference's offline XtraPuLP min-cut partitioning
+// (graph_partitioning.py:104-138) without the MPI dependency: each vertex
+// goes to the partition holding most of its already-placed neighbors,
+// damped by a capacity penalty. `passes` > 1 refines assignments.
+void lg_partition_ldg(const int64_t* indptr, const int32_t* indices,
+                      int64_t n_nodes, int32_t n_parts, int32_t passes,
+                      int32_t* part) {
+  std::vector<int64_t> size(n_parts, 0);
+  for (int64_t v = 0; v < n_nodes; ++v) part[v] = -1;
+  double cap = (double)n_nodes / n_parts * 1.05 + 1.0;
+  std::vector<int64_t> cnt(n_parts);
+  for (int32_t pass = 0; pass < passes; ++pass) {
+    for (int64_t v = 0; v < n_nodes; ++v) {
+      std::fill(cnt.begin(), cnt.end(), 0);
+      for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+        int32_t p = part[indices[e]];
+        if (p >= 0) cnt[p]++;
+      }
+      int32_t old = part[v];
+      if (old >= 0) size[old]--;
+      double best_score = -1e300;
+      int32_t best = 0;
+      for (int32_t p = 0; p < n_parts; ++p) {
+        double score =
+            (double)cnt[p] * (1.0 - (double)size[p] / cap);
+        if (score > best_score ||
+            (score == best_score && size[p] < size[best])) {
+          best_score = score;
+          best = p;
+        }
+      }
+      part[v] = best;
+      size[best]++;
+    }
+  }
+}
+
 }  // extern "C"
 
 extern "C" int lg_convert_edgelist(const char* in_path, const char* out_dir,
