@@ -48,12 +48,13 @@ except ImportError:  # pragma: no cover
 
 from legion_tpu.config import LegionConfig
 from legion_tpu.models import make_model
-from legion_tpu.parallel.mesh import DP_AXES, dp_size, make_mesh
+from legion_tpu.parallel.mesh import DP_AXES, dp_axes, dp_size, make_mesh
 from legion_tpu.pipeline import Mode, Schedule
 from legion_tpu.sampling import NeighborSampler
 
-DP = P(DP_AXES)            # shard leading dim over both mesh axes
-DPN = P(DP_AXES, None)     # [n_dev, L] banks
+# Sharding specs are built per-Trainer from the mesh's axis names, so a
+# multi-host mesh ("host", "clique", "member") works unchanged — every mesh
+# axis is data-parallel; "member" additionally carries cache collectives.
 
 
 def _masked_ce(logits: jax.Array, labels: jax.Array,
@@ -95,12 +96,15 @@ class Trainer:
         self.dataset = dataset
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
         self.n_dev = dp_size(self.mesh)
+        self.axes = dp_axes(self.mesh)
+        self._DP = P(self.axes)
+        self._DPN = P(self.axes, None)
         meta = dataset.meta
         V = meta.num_nodes
         scfg = config.sampler
 
         rep = NamedSharding(self.mesh, P())
-        dpn = NamedSharding(self.mesh, DPN)
+        dpn = NamedSharding(self.mesh, self._DPN)
 
         # --- seed sets ---
         if hasattr(dataset, "device_arrays"):
@@ -312,7 +316,7 @@ class Trainer:
         if key is None:
             key = jax.random.PRNGKey(self.config.train.seed)
         rep = NamedSharding(self.mesh, P())
-        dp = NamedSharding(self.mesh, DP)
+        dp = NamedSharding(self.mesh, self._DP)
         params = jax.device_put(self.model_t.init(key), rep)
         opt_state = jax.device_put(self.tx.init(params), rep)
         pos_map = jax.device_put(
@@ -330,9 +334,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def _device_key(self, base_key: jax.Array, ctr: jax.Array,
                     tag: int) -> jax.Array:
-        ci = jax.lax.axis_index("clique")
-        mi = jax.lax.axis_index("member")
-        dev = ci * self.mesh.shape["member"] + mi
+        dev = jnp.int32(0)
+        for a in self.axes:
+            dev = dev * self.mesh.shape[a] + jax.lax.axis_index(a)
         k = jax.random.fold_in(base_key, ctr)
         k = jax.random.fold_in(k, tag)
         return jax.random.fold_in(k, dev)
@@ -369,18 +373,19 @@ class Trainer:
                     return _masked_ce(logits, y, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            grads = jax.lax.pmean(grads, DP_AXES)
-            loss = jax.lax.pmean(loss, DP_AXES)
+            grads = jax.lax.pmean(grads, self.axes)
+            loss = jax.lax.pmean(loss, self.axes)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, pos_map[None], ctr + 1, loss, \
-                jax.lax.psum(feat_hits, DP_AXES)
+                jax.lax.psum(feat_hits, self.axes)
 
         mr_spec = P("member", None, None) if use_clique else P()
         sm = _shard_map(
             step, self.mesh,
-            in_specs=(P(), P(), DP, P(), P(), DPN, P(), P(), mr_spec, P()),
-            out_specs=(P(), P(), DP, P(), P(), P()))
+            in_specs=(P(), P(), self._DP, P(), P(), self._DPN, P(), P(),
+                      mr_spec, P()),
+            out_specs=(P(), P(), self._DP, P(), P(), P()))
         return jax.jit(sm, donate_argnums=(0, 1, 2, 3))
 
     def _build_eval_step(self, n_steps: int, ctr_name: str):
@@ -408,24 +413,24 @@ class Trainer:
                 loss = model.loss(params, x, batch, valid, train=False)
                 t = jnp.sum(valid[: bs // 3], dtype=jnp.int32)
                 c = loss * t.astype(jnp.float32)
-                c = jax.lax.psum(c, DP_AXES)
-                t = jax.lax.psum(t, DP_AXES)
+                c = jax.lax.psum(c, self.axes)
+                t = jax.lax.psum(t, self.axes)
                 return pos_map[None], ctr + 1, correct + c, \
                     total + t.astype(jnp.float32)
             logits = model.apply(params, x, batch, train=False)
             pred = jnp.argmax(logits, axis=-1)
             c = jnp.sum((pred == y) & valid, dtype=jnp.int32)
             t = jnp.sum(valid, dtype=jnp.int32)
-            c = jax.lax.psum(c, DP_AXES)
-            t = jax.lax.psum(t, DP_AXES)
+            c = jax.lax.psum(c, self.axes)
+            t = jax.lax.psum(t, self.axes)
             return pos_map[None], ctr + 1, correct + c, total + t
 
         mr_spec = P("member", None, None) if use_clique else P()
         sm = _shard_map(
             step, self.mesh,
-            in_specs=(P(), DP, P(), P(), P(), P(), DPN, P(), P(), mr_spec,
-                      P()),
-            out_specs=(DP, P(), P(), P()))
+            in_specs=(P(), self._DP, P(), P(), P(), P(), self._DPN, P(), P(),
+                      mr_spec, P()),
+            out_specs=(self._DP, P(), P(), P()))
         jitted = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
 
         def run(state: Dict, bank) -> Dict:
