@@ -487,17 +487,26 @@ class Trainer:
         for epoch in range(sch.epochs):
             t0 = time.time()
             losses = []
+            hits = []
             for _ in range(sch.train_step):
                 state, loss = self.train_step(state)
                 losses.append(loss)
+                hits.append(self.last_feat_hits)
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses \
                 else float("nan")
+            # cache-hit counters come off-device once per epoch (the live
+            # replacement for the reference's disabled PCM monitor)
+            total_hits = int(jnp.sum(jnp.stack(hits))) if hits else 0
             state, acc = self.run_eval(state, Mode.VALID)
             dt = time.time() - t0
             stats.append(EpochStats(epoch, train_loss, acc, dt))
             if verbose:
+                hit_info = ""
+                if self._use_clique or self.cache_plan is not None:
+                    hit_info = f" | feat cache hits {total_hits}"
                 print(f"Epoch {epoch:03d} | time {dt:.2f}s | "
-                      f"loss {train_loss:.4f} | val acc {acc:.4f}")
+                      f"loss {train_loss:.4f} | val acc {acc:.4f}"
+                      f"{hit_info}")
         state, self.test_acc = self.run_eval(state, Mode.TEST)
         if verbose:
             print(f"Test acc {self.test_acc:.4f}")
