@@ -37,7 +37,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--model", default="graphsage")
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--dedup", default="map", choices=["map", "sort"])
+    ap.add_argument("--dedup", default="sort", choices=["map", "sort"])
+    # exact reference dedup semantics on the last hop (slower on TPU; the
+    # default lane-aligned mode is training-math-identical for
+    # graphsage/gat/lp_sage — see SamplerConfig.dedup_last_hop)
+    ap.add_argument("--exact-dedup", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +63,9 @@ def main():
         dataset=ds.meta,
         sampler=SamplerConfig(fanouts=tuple(args.fanouts),
                               batch_size=args.batch, auto_compact=True,
-                              dedup=args.dedup),
+                              dedup=args.dedup,
+                              dedup_last_hop=(args.exact_dedup
+                                              or args.model == "gcn")),
         cache=CacheConfig(presample_steps=4),
         train=TrainConfig(model=args.model, hidden_dim=args.hidden,
                           epochs=1),
@@ -72,14 +78,16 @@ def main():
     t_compile = time.time()
     for _ in range(n_warm):
         state, loss = trainer.train_step(state)
-    jax.block_until_ready(loss)
+    # force a value fetch: block_until_ready alone can return before the
+    # device queue drains on tunneled runtimes
+    float(loss)
     compile_s = time.time() - t_compile
 
     n_steps = args.steps
     t0 = time.time()
     for _ in range(n_steps):
         state, loss = trainer.train_step(state)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.time() - t0
     step_time = dt / n_steps
 

@@ -121,10 +121,31 @@ class SamplerConfig:
     # sort-based dedup with NO O(V) state — scales to billion-vertex
     # graphs and avoids large-scatter costs on TPU
     dedup: str = "map"
+    # Deduplicate the LAST hop's candidates? The reference always dedups
+    # globally (operator_impl.cu:244-251) because on GPUs dedup is cheap
+    # (atomics) and each unique node saves a PCIe feature fetch. On TPU the
+    # trade inverts: dedup costs several random-gather/scatter passes over
+    # the largest hop (~9ns/element each) while the saved feature-gather
+    # rows cost far less — and skipping it makes last-hop local positions
+    # LANE-ALIGNED (position = static_offset + lane), which deletes the
+    # per-edge row gather (and its scatter-add transpose in backward) from
+    # the first aggregation layer entirely. Training math is unchanged:
+    # each duplicate lane carries an identical feature copy, and the
+    # aggregation averages the same multiset. Defaults to True (exact
+    # reference semantics); the trainer/bench flip it off for speed.
+    dedup_last_hop: bool = True
 
     @property
     def num_hops(self) -> int:
         return len(self.fanouts)
+
+    def aligned_hop_offset(self, k: int) -> Optional[int]:
+        """If hop k's local positions are lane-aligned (position ==
+        offset + lane), return the static offset; else None. Models use
+        this to replace per-edge row gathers with static slices."""
+        if not self.dedup_last_hop and k == self.num_hops - 1:
+            return self.cum_sizes()[k]
+        return None
 
     def _worst_frontier(self) -> Tuple[int, ...]:
         sizes = [self.batch_size]
@@ -155,7 +176,9 @@ class SamplerConfig:
         return tuple(fs[k] * self.fanouts[k] for k in range(self.num_hops))
 
     def cum_sizes(self) -> Tuple[int, ...]:
-        """S[k] = static bound on unique nodes after hop k."""
+        """S[k] = static bound on local node slots after hop k (unique
+        nodes when hop k is deduped; S[k-1] + E_{k-1} lanes when the last
+        hop is lane-aligned)."""
         worst = [self.batch_size]
         for e in self.edge_counts():
             worst.append(worst[-1] + e)
@@ -163,7 +186,11 @@ class SamplerConfig:
             return tuple(worst)
         assert len(self.node_caps) == self.num_hops + 1, self.node_caps
         assert self.node_caps[0] >= self.batch_size
-        return tuple(min(w, c) for w, c in zip(worst, self.node_caps))
+        out = [min(w, c) for w, c in zip(worst, self.node_caps)]
+        if not self.dedup_last_hop:
+            # last hop emits one slot per lane at a static offset
+            out[-1] = out[-2] + self.edge_counts()[-1]
+        return tuple(out)
 
     @property
     def max_ids(self) -> int:

@@ -29,7 +29,8 @@ def gat_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
                     fanout: int, hop_offset: jax.Array, num_dst: int,
                     negative_slope: float = 0.2,
                     attn_drop: float = 0.0, train: bool = False,
-                    rng: Optional[jax.Array] = None) -> jax.Array:
+                    rng: Optional[jax.Array] = None,
+                    aligned_offset=None) -> jax.Array:
     """One multi-head GATConv. Returns [num_dst, heads, d_out].
 
     The SDDMM scores and the per-dst softmax run densely per frontier row
@@ -44,10 +45,16 @@ def gat_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
     # dst of lane (i, f) is frontier row i at position hop_offset + i
     er_dst = jax.lax.dynamic_slice(
         er, (jnp.asarray(hop_offset, jnp.int32), jnp.int32(0)), (F, H))
-    e = gather_rows(el, edge_src).reshape(F, fanout, H) + er_dst[:, None]
+    if aligned_offset is not None:
+        el_e = jax.lax.slice(el, (aligned_offset, 0),
+                             (aligned_offset + edge_src.shape[0], H))
+    else:
+        el_e = gather_rows(el, edge_src)
+    e = el_e.reshape(F, fanout, H) + er_dst[:, None]
     e = jax.nn.leaky_relu(e, negative_slope)
     out = hop_softmax_attention(z, e, edge_src, fanout, hop_offset,
-                                num_dst, attn_drop, train, rng)
+                                num_dst, attn_drop, train, rng,
+                                aligned_offset)
     return out + params["b"][None]
 
 
@@ -101,7 +108,8 @@ class GAT:
                                   batch.edge_src[k], self.cfg.fanouts[k],
                                   batch.hop_offsets[k],
                                   self.S[k], self.negative_slope,
-                                  self.attn_drop, train, ka)
+                                  self.attn_drop, train, ka,
+                                  self.cfg.aligned_hop_offset(k))
             if i != L - 1:
                 # flatten heads + ELU like legion_gat.py:57-60
                 out = jax.nn.elu(out.reshape(out.shape[0], -1))

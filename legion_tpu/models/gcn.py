@@ -25,21 +25,36 @@ from legion_tpu.sampling import SampleBatch
 
 
 def gcn_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
-                    fanout: int, hop_offset: jax.Array, num_dst: int
-                    ) -> jax.Array:
+                    fanout: int, hop_offset: jax.Array, num_dst: int,
+                    aligned_offset=None) -> jax.Array:
     n_src = h_src.shape[0]
     valid = edge_src >= 0
-    ones = jnp.ones(edge_src.shape, dtype=h_src.dtype)
-    # block-local out-degree needs a true segment-sum (src order is
-    # unstructured); in-degree falls out of the dense hop aggregation
-    out_deg = masked_segment_sum(ones, jnp.where(valid, edge_src, -1),
-                                 n_src)
-    inv_sqrt_out = jnp.where(out_deg > 0, jax.lax.rsqrt(
-        jnp.maximum(out_deg, 1)), 0)
+    if aligned_offset is not None:
+        # lane-aligned hop: each src slot carries exactly its own lane's
+        # edge, so the block-local out-degree is the validity indicator —
+        # no segment scatter needed. NOTE: a node drawn m times counts as
+        # m degree-1 slots here, vs one degree-m node in a deduped block
+        # (DGL norm='both' on the reference's blocks). For exact GCN
+        # normalization parity keep dedup_last_hop=True; SAGE/GAT/lp_sage
+        # are invariant either way (per-dst mean/softmax over the same
+        # multiset).
+        window = jnp.zeros((n_src,), h_src.dtype).at[
+            aligned_offset:aligned_offset + edge_src.shape[0]].set(
+            valid.astype(h_src.dtype))
+        inv_sqrt_out = window
+    else:
+        ones = jnp.ones(edge_src.shape, dtype=h_src.dtype)
+        # block-local out-degree needs a true segment-sum (src order is
+        # unstructured); in-degree falls out of the dense hop aggregation
+        out_deg = masked_segment_sum(ones, jnp.where(valid, edge_src, -1),
+                                     n_src)
+        inv_sqrt_out = jnp.where(out_deg > 0, jax.lax.rsqrt(
+            jnp.maximum(out_deg, 1)), 0)
 
     hw = h_src @ params["w"]
     agg, in_deg = hop_neighbor_sum(hw * inv_sqrt_out[:, None], edge_src,
-                                   fanout, hop_offset, num_dst)
+                                   fanout, hop_offset, num_dst,
+                                   aligned_offset)
     inv_sqrt_in = jnp.where(in_deg > 0, jax.lax.rsqrt(
         jnp.maximum(in_deg, 1)), 0)
     out = agg * inv_sqrt_in[:, None]
@@ -76,7 +91,8 @@ class GCN:
             k = L - 1 - i
             h = gcn_layer_apply(params["layers"][i], h[:self.S[k + 1]],
                                 batch.edge_src[k], self.cfg.fanouts[k],
-                                batch.hop_offsets[k], self.S[k])
+                                batch.hop_offsets[k], self.S[k],
+                                self.cfg.aligned_hop_offset(k))
             if i != L - 1:
                 h = jax.nn.relu(h)
                 if rng is not None:

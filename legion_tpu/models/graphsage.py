@@ -27,8 +27,8 @@ from legion_tpu.sampling import SampleBatch
 
 
 def sage_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
-                     fanout: int, hop_offset: jax.Array, num_dst: int
-                     ) -> jax.Array:
+                     fanout: int, hop_offset: jax.Array, num_dst: int,
+                     aligned_offset=None) -> jax.Array:
     """One SAGEConv(mean) layer. h_src: [N_src, d_in] -> [num_dst, d_out].
 
     Neighbor mean uses the scatter-free dense hop aggregation
@@ -36,7 +36,7 @@ def sage_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
     """
     h_dst = h_src[:num_dst]
     h_neigh = hop_neighbor_mean(h_src, edge_src, fanout, hop_offset,
-                                num_dst)
+                                num_dst, aligned_offset)
     out = h_dst @ params["w_self"] + h_neigh @ params["w_neigh"]
     return out + params["b"]
 
@@ -77,7 +77,8 @@ class GraphSAGE:
             k = L - 1 - i  # layer i aggregates hop k's edges
             h = sage_layer_apply(params["layers"][i], h[:self.S[k + 1]],
                                  batch.edge_src[k], self.cfg.fanouts[k],
-                                 batch.hop_offsets[k], self.S[k])
+                                 batch.hop_offsets[k], self.S[k],
+                                 self.cfg.aligned_hop_offset(k))
             if i != L - 1:
                 h = jax.nn.relu(h)
                 if rng is not None:

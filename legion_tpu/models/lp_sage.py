@@ -57,7 +57,8 @@ class LinkPredSAGE:
             k = L - 1 - i
             h = sage_layer_apply(params["layers"][i], h[:self.S[k + 1]],
                                  batch.edge_src[k], self.cfg.fanouts[k],
-                                 batch.hop_offsets[k], self.S[k])
+                                 batch.hop_offsets[k], self.S[k],
+                                 self.cfg.aligned_hop_offset(k))
             if i != L - 1:
                 h = jax.nn.relu(h)
                 if rng is not None:

@@ -23,12 +23,24 @@ import jax.numpy as jnp
 from legion_tpu.ops.segment import gather_rows
 
 
-def hop_gather_msgs(h_src: jax.Array, src_l: jax.Array, fanout: int
+def hop_gather_msgs(h_src: jax.Array, src_l: jax.Array, fanout: int,
+                    aligned_offset: Optional[int] = None
                     ) -> Tuple[jax.Array, jax.Array]:
     """Gather per-edge messages into [F, fanout, d] + validity [F, fanout].
-    src_l: [F * fanout] local indices, -1 pad."""
+    src_l: [F * fanout] local indices, -1 pad.
+
+    When the hop is lane-aligned (sampler skipped last-hop dedup, so
+    position == aligned_offset + lane), the per-edge row gather — and its
+    scatter-add transpose in the backward pass — collapses to a static
+    slice."""
     F = src_l.shape[0] // fanout
-    msgs = gather_rows(h_src, src_l).reshape(F, fanout, h_src.shape[1])
+    E = src_l.shape[0]
+    if aligned_offset is not None:
+        msgs = jax.lax.slice(h_src, (aligned_offset, 0),
+                             (aligned_offset + E, h_src.shape[1]))
+        msgs = msgs.reshape(F, fanout, h_src.shape[1])
+    else:
+        msgs = gather_rows(h_src, src_l).reshape(F, fanout, h_src.shape[1])
     valid = (src_l >= 0).reshape(F, fanout)
     return msgs, valid
 
@@ -45,10 +57,11 @@ def place_rows(rows: jax.Array, offset: jax.Array, num_dst: int
 
 def hop_neighbor_sum(h_src: jax.Array, src_l: jax.Array, fanout: int,
                      offset: jax.Array, num_dst: int,
+                     aligned_offset: Optional[int] = None,
                      ) -> Tuple[jax.Array, jax.Array]:
     """Sum of neighbor features per dst and the neighbor count per dst.
     Returns (sum [num_dst, d], count [num_dst])."""
-    msgs, valid = hop_gather_msgs(h_src, src_l, fanout)
+    msgs, valid = hop_gather_msgs(h_src, src_l, fanout, aligned_offset)
     msum = jnp.sum(jnp.where(valid[..., None], msgs, 0), axis=1)
     cnt = jnp.sum(valid, axis=1).astype(h_src.dtype)
     return place_rows(msum, offset, num_dst), \
@@ -56,8 +69,10 @@ def hop_neighbor_sum(h_src: jax.Array, src_l: jax.Array, fanout: int,
 
 
 def hop_neighbor_mean(h_src: jax.Array, src_l: jax.Array, fanout: int,
-                      offset: jax.Array, num_dst: int) -> jax.Array:
-    s, c = hop_neighbor_sum(h_src, src_l, fanout, offset, num_dst)
+                      offset: jax.Array, num_dst: int,
+                      aligned_offset: Optional[int] = None) -> jax.Array:
+    s, c = hop_neighbor_sum(h_src, src_l, fanout, offset, num_dst,
+                            aligned_offset)
     return s / jnp.maximum(c, 1)[:, None]
 
 
@@ -65,7 +80,8 @@ def hop_softmax_attention(z: jax.Array, scores: jax.Array,
                           src_l: jax.Array, fanout: int, offset: jax.Array,
                           num_dst: int, attn_drop: float = 0.0,
                           train: bool = False,
-                          rng: Optional[jax.Array] = None) -> jax.Array:
+                          rng: Optional[jax.Array] = None,
+                          aligned_offset: Optional[int] = None) -> jax.Array:
     """GAT-style per-dst softmax + weighted sum, densely per frontier row.
 
     z: [N_src, H, d] projected features; scores: [F, fanout, H] edge scores
@@ -83,7 +99,12 @@ def hop_softmax_attention(z: jax.Array, scores: jax.Array,
                         jnp.finfo(scores.dtype).tiny)
     alpha = e / denom                                    # [F, fanout, H]
     alpha = dropout(alpha, attn_drop, rng, train)
-    zs = gather_rows(z.reshape(z.shape[0], -1), src_l).reshape(
-        F, fanout, z.shape[1], z.shape[2])               # [F, fo, H, d]
+    z2 = z.reshape(z.shape[0], -1)
+    if aligned_offset is not None:
+        zs = jax.lax.slice(z2, (aligned_offset, 0),
+                           (aligned_offset + src_l.shape[0], z2.shape[1]))
+    else:
+        zs = gather_rows(z2, src_l)
+    zs = zs.reshape(F, fanout, z.shape[1], z.shape[2])   # [F, fo, H, d]
     out = jnp.sum(alpha[..., None] * zs, axis=1)         # [F, H, d]
     return place_rows(out, offset, num_dst)

@@ -17,8 +17,12 @@ TPU-native rebuild of the reference sampling operators
 
 Everything is compiled under one ``jit``: shapes are the reference's own
 worst-case bounds (server.cu:188-199), pad id is -1 exactly like the CUDA
-kernels (operator_impl.cu:40-43,232-234), and all dedup work is O(E) gathers
-and scatters — no sorting, no data-dependent shapes.
+kernels (operator_impl.cu:40-43,232-234), and no data-dependent shapes
+anywhere. Two dedup strategies ("map" scatters into a [V] position map —
+Legion's own algorithm; "sort" is a pure sort/scan pipeline sized by
+measured TPU costs), plus a lane-aligned no-dedup mode for the last hop
+(config.dedup_last_hop) that deletes the largest dedup and the first
+aggregation layer's row gather outright.
 
 Semantics preserved from the reference (deliberately):
   - sampling with replacement, uniform over each frontier node's neighbors;
@@ -113,6 +117,7 @@ class NeighborSampler:
         self.cum_caps = config.cum_sizes()
         self.max_ids = config.max_ids
         self.capped = config.node_caps is not None
+        self.aligned_last = not config.dedup_last_hop
         # with measured caps the ids buffer needs slack so frontier slices
         # never clamp back into filled territory
         slack = max(self.frontier_sizes[1:], default=0) if self.capped \
@@ -120,6 +125,17 @@ class NeighborSampler:
         self.ids_len = self.max_ids + slack
         assert config.dedup in ("map", "sort"), config.dedup
         self.sort_dedup = config.dedup == "sort"
+        if self.sort_dedup:
+            # sort-dedup compacts each hop's new ids with one
+            # dynamic_update_slice of static width W_k at dynamic offset
+            # cum <= cum_caps[k]; the buffer must fit the window so DUS
+            # never clamps back into filled territory
+            L = config.num_hops
+            for k in range(L):
+                if self.aligned_last and k == L - 1:
+                    continue
+                W = min(self.edge_sizes[k], self.cum_caps[k + 1])
+                self.ids_len = max(self.ids_len, self.cum_caps[k] + W)
 
     @property
     def state_size(self) -> int:
@@ -202,58 +218,78 @@ class NeighborSampler:
         src_l = jnp.where(src_l == INT32_MAX, -1, src_l)
         return src_l, n_new, ids, pos_map
 
-    def _dedup_sort(self, cand, e_valid, cum, ids, dd_state, k,
-                    last_hop: bool):
-        """Sort-based dedup: NO O(V) state. Stable-sort the candidates,
-        detect first-occurrence runs, match against the running sorted set
-        of already-assigned ids, assign contiguous local positions to new
-        uniques (sorted order within a hop), and unsort. Scales to
-        billion-vertex graphs where a position map would not fit, and
-        replaces large scatters with TPU-friendly sorts."""
-        sorted_ids, sorted_pos = dd_state
+    def _dedup_sort(self, cand, e_valid, cum, ids, k):
+        """Sort-based dedup: NO O(V) state, NO big random gathers/scatters.
+
+        On this TPU, 1M-element sorts cost ~2.5ns/elem while random
+        gathers cost ~9ns/elem and scatters ~5ns/elem (all element-
+        serialized, locality-independent) — so the dedup is restructured
+        as three sorts plus O(n) scans over M = assigned-prefix + cand:
+
+          1. stable sort (id, tag) with assigned entries tagged by their
+             position and candidate lanes tagged lane+P: each run of an
+             equal id leads with its authority — the existing entry if
+             one exists, else the lowest candidate lane (the same winner
+             the reference's atomic claim protocol picks,
+             operator_impl.cu:244-251);
+          2. assign new positions to candidate-led runs by cumsum rank,
+             then broadcast each run head's position to its lanes with an
+             associative-scan fill-forward (log-passes of elementwise ops
+             — no segment scatter);
+          3. route positions back to lane order and compact the new
+             unique ids to the front with two more sorts; the compacted
+             block lands in `ids` via one dynamic_update_slice.
+        """
         E_k = cand.shape[0]
         cap_k = self.cum_caps[k + 1]
-        N_s = sorted_ids.shape[0]
+        P = self.cum_caps[k]          # static cap on already-assigned slots
+        W = min(E_k, cap_k)           # static cap on new ids this hop
+        M = P + E_k
 
-        lane = jnp.arange(E_k, dtype=jnp.int32)
-        skey = jnp.where(e_valid, cand, INT32_MAX)
-        s, si = jax.lax.sort_key_val(skey, lane, is_stable=True)
-        valid_s = s != INT32_MAX
-        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s[:-1]])
-        first = valid_s & (s != prev)
+        prefix = jax.lax.slice(ids, (0,), (P,))
+        pkey = jnp.where(prefix >= 0, prefix, INT32_MAX)
+        ckey = jnp.where(e_valid, cand, INT32_MAX)
+        keys = jnp.concatenate([pkey, ckey])
+        # tag < P => existing entry at position tag; tag >= P => lane tag-P
+        tags = jnp.arange(M, dtype=jnp.int32)
+        # 1. one stable sort; ties keep assigned-before-candidate and
+        # lane order among candidates
+        skey, stag = jax.lax.sort_key_val(keys, tags, is_stable=True)
+        valid_s = skey != INT32_MAX
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), skey[:-1]])
+        run_start = valid_s & (skey != prev)
+        is_exist = stag < P
 
-        # membership against already-assigned ids (concat-sort search)
-        j = jnp.searchsorted(sorted_ids, s, method="sort")
-        j_c = jnp.clip(j, 0, N_s - 1)
-        old = valid_s & (sorted_ids[j_c] == s)
-        old_pos = sorted_pos[j_c]
-
-        new_first = first & ~old
-        # run-constant rank: new_first fires only at run starts, so the
-        # cumsum is constant across each run's lanes
-        rank = jnp.cumsum(new_first, dtype=jnp.int32) - 1
+        # 2. new positions for candidate-led runs
+        new_head = run_start & ~is_exist
+        rank = jnp.cumsum(new_head, dtype=jnp.int32) - 1
         pos_new = cum + rank
-        keep = valid_s & (old | ((~old) & (pos_new < cap_k)))
-        pos_sorted = jnp.where(old, old_pos, pos_new)
-        pos_sorted = jnp.where(keep, pos_sorted, -1)
+        kept_head = new_head & (pos_new < cap_k)
+        head_pos = jnp.where(is_exist, stag,
+                             jnp.where(kept_head, pos_new, -1))
+        # fill-forward the run head's position across the run
+        def _ff(a, b):
+            return (a[0] | b[0], jnp.where(b[0], b[1], a[1]))
+        _, src_pos = jax.lax.associative_scan(
+            _ff, (run_start, jnp.where(run_start, head_pos, 0)))
+        src_pos = jnp.where(valid_s, src_pos, -1)
 
-        # unsort to lane order (si is a permutation -> unique indices)
-        src_l = jnp.zeros((E_k,), jnp.int32).at[si].set(
-            pos_sorted, unique_indices=True)
+        # 3a. route positions back to lanes: every candidate row (valid or
+        # pad) has a distinct lane key, so the first E_k sorted entries are
+        # exactly lanes 0..E_k-1
+        lane_key = jnp.where(is_exist, INT32_MAX, stag - P)
+        _, src_l_full = jax.lax.sort_key_val(lane_key, src_pos)
+        src_l = jax.lax.slice(src_l_full, (0,), (E_k,))
 
-        newsel = new_first & (pos_new < cap_k)
-        n_new = jnp.sum(newsel, dtype=jnp.int32)
-        ids = ids.at[jnp.where(newsel, pos_new, self.ids_len)].set(
-            s, mode="drop")
-
-        if not last_hop:
-            merged_ids = jnp.concatenate(
-                [sorted_ids, jnp.where(newsel, s, INT32_MAX)])
-            merged_pos = jnp.concatenate(
-                [sorted_pos, jnp.where(newsel, pos_new, 0)])
-            m_ids, m_pos = jax.lax.sort_key_val(merged_ids, merged_pos)
-            dd_state = (m_ids[:N_s], m_pos[:N_s])
-        return src_l, n_new, ids, dd_state
+        # 3b. compact new unique ids to the front in position order; the
+        # masked (-1) tail of the window pads slots that stay empty
+        n_new = jnp.sum(kept_head, dtype=jnp.int32)
+        comp_key = jnp.where(kept_head, pos_new, INT32_MAX)
+        comp_val = jnp.where(kept_head, skey, -1)
+        _, comp = jax.lax.sort_key_val(comp_key, comp_val)
+        new_block = jax.lax.slice(comp, (0,), (W,))
+        ids = jax.lax.dynamic_update_slice(ids, new_block, (cum,))
+        return src_l, n_new, ids
 
     def _sample_impl(self, csr: DeviceCSR, seeds: jax.Array,
                      pos_map: jax.Array, key: jax.Array, with_hotness: bool,
@@ -277,17 +313,9 @@ class NeighborSampler:
 
         seed_valid = seeds >= 0
         n_seeds = jnp.sum(seed_valid, dtype=jnp.int32)
-        # register seeds (batch_generate :27-55)
-        if self.sort_dedup:
-            skey = jnp.where(seed_valid, seeds, INT32_MAX)
-            ss, sp = jax.lax.sort_key_val(
-                skey, jnp.arange(batch_size, dtype=jnp.int32))
-            sorted_ids = jnp.full((self.max_ids,), INT32_MAX,
-                                  jnp.int32).at[:batch_size].set(ss)
-            sorted_pos = jnp.zeros((self.max_ids,),
-                                   jnp.int32).at[:batch_size].set(sp)
-            dd_state = (sorted_ids, sorted_pos)
-        else:
+        # register seeds (batch_generate :27-55); sort-dedup needs no seed
+        # state — the ids prefix itself is the membership structure
+        if not self.sort_dedup:
             seed_scatter = jnp.where(seed_valid, seeds, V)
             pos_map = pos_map.at[seed_scatter].set(
                 jnp.arange(batch_size, dtype=jnp.int32), mode="drop")
@@ -317,10 +345,19 @@ class NeighborSampler:
             # cand: [E_k] global ids, -1 where frontier pad / deg 0
             e_valid = cand >= 0
 
-            if self.sort_dedup:
-                src_l, n_new, ids, dd_state = self._dedup_sort(
-                    cand, e_valid, cum, ids, dd_state, k,
-                    last_hop=(k == L - 1))
+            if self.aligned_last and k == L - 1:
+                # lane-aligned last hop: no dedup, position = P_last + lane
+                # (see SamplerConfig.dedup_last_hop for the cost argument).
+                # num_nodes[-1] counts VALID slots; the filled region is
+                # the static window [P_last, P_last + E_k).
+                P_last = self.cum_caps[k]
+                ids = jax.lax.dynamic_update_slice(ids, cand, (P_last,))
+                src_l = jnp.where(
+                    e_valid, P_last + jnp.arange(E_k, dtype=jnp.int32), -1)
+                n_new = jnp.sum(e_valid, dtype=jnp.int32)
+            elif self.sort_dedup:
+                src_l, n_new, ids = self._dedup_sort(
+                    cand, e_valid, cum, ids, k)
             else:
                 src_l, n_new, ids, pos_map = self._dedup_map(
                     cand, e_valid, cum, ids, pos_map, k, V)
@@ -344,8 +381,11 @@ class NeighborSampler:
                 jnp.where(ids >= 0, ids, V)].add(1, mode="drop")
 
         if not self.sort_dedup:
-            # ClearPosMap: reset only touched entries
-            pos_map = pos_map.at[jnp.where(ids >= 0, ids, V)].set(
+            # ClearPosMap: reset only touched entries (an aligned last hop
+            # never touches the position map, so skip its lanes)
+            touched = ids if not self.aligned_last else \
+                jax.lax.slice(ids, (0,), (self.cum_caps[L - 1],))
+            pos_map = pos_map.at[jnp.where(touched >= 0, touched, V)].set(
                 INT32_MAX, mode="drop")
 
         batch = SampleBatch(
