@@ -42,6 +42,8 @@ def main():
     # default lane-aligned mode is training-math-identical for
     # graphsage/gat/lp_sage — see SamplerConfig.dedup_last_hop)
     ap.add_argument("--exact-dedup", action="store_true")
+    # block-windowed neighbor draws (0 = exact per-slot independent draws)
+    ap.add_argument("--window", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -64,6 +66,7 @@ def main():
         sampler=SamplerConfig(fanouts=tuple(args.fanouts),
                               batch_size=args.batch, auto_compact=True,
                               dedup=args.dedup,
+                              neighbor_window=args.window,
                               dedup_last_hop=(args.exact_dedup
                                               or args.model == "gcn")),
         cache=CacheConfig(presample_steps=4),

@@ -121,6 +121,13 @@ class SamplerConfig:
     # sort-based dedup with NO O(V) state — scales to billion-vertex
     # graphs and avoids large-scatter costs on TPU
     dedup: str = "map"
+    # Block-windowed neighbor draws (power of two, 0 = off). When set,
+    # HBM-resident adjacency is read as one aligned W-wide block DMA per
+    # frontier vertex instead of `fanout` element gathers — ~6x faster on
+    # TPU, with exactly-uniform per-draw marginals; a vertex's draws
+    # within one step are confined to one block (see
+    # sampling.access.WindowedCSRAccess).
+    neighbor_window: int = 0
     # Deduplicate the LAST hop's candidates? The reference always dedups
     # globally (operator_impl.cu:244-251) because on GPUs dedup is cheap
     # (atomics) and each unique node saves a PCIe feature fetch. On TPU the

@@ -89,6 +89,93 @@ class DeviceCSRAccess(GraphAccess):
 
 
 @jax.tree_util.register_pytree_node_class
+class WindowedCSRAccess(GraphAccess):
+    """HBM CSR with block-windowed draws — the TPU fast path.
+
+    XLA TPU executes 1-D random gathers element-serialized (~9-15ns per
+    offset, measured) but row gathers from a 2-D table ride a fast DMA
+    path (~8ns per ROW). All `fanout` draws of a frontier vertex come
+    from one contiguous CSR row, so instead of fanout element-gathers per
+    vertex we gather ONE aligned W-wide block of the edge array per
+    vertex and draw inside it:
+
+      1. r0 ~ U[0, deg) picks the block b = (row_start + r0) // W;
+      2. the draws are uniform over I = [row_start, row_end) ∩ block b.
+
+    P(block) = |I|/deg and P(elem | block) = 1/|I|, so every neighbor has
+    exactly 1/deg marginal probability per draw — the same marginal as
+    the reference's per-slot uniform draws (operator_impl.cu:235-243).
+    The difference: one vertex's draws within a step are correlated
+    (confined to <= W neighbors); across steps blocks re-randomize. In
+    exchange the hop's edge read drops from E_k random offsets to F_k row
+    DMAs (~7x fewer offsets at fanout 10, ~6x measured speedup).
+
+    Layout: `row_pairs` [V, 2] = (row_start, degree) merges the two
+    indptr gathers into one row gather; `indices2d` [ceil(E/W), W] is the
+    edge array padded to a block multiple (bitcast reshape of the flat
+    layout).
+    """
+
+    def __init__(self, row_pairs: jax.Array, indices2d: jax.Array,
+                 num_nodes: int, num_edges: int):
+        self.row_pairs = row_pairs
+        self.indices2d = indices2d
+        self.num_nodes = num_nodes
+        self.num_edges = num_edges
+
+    @property
+    def window(self) -> int:
+        return int(self.indices2d.shape[1])
+
+    @classmethod
+    def from_csr(cls, csr: DeviceCSR, window: int = 64
+                 ) -> "WindowedCSRAccess":
+        assert window & (window - 1) == 0, "window must be a power of two"
+        starts = csr.indptr[:-1].astype(jnp.int32)
+        deg = (csr.indptr[1:] - csr.indptr[:-1]).astype(jnp.int32)
+        row_pairs = jnp.stack([starts, deg], axis=1)
+        E = csr.num_edges
+        pE = -(-E // window) * window
+        flat = jnp.pad(csr.indices, (0, pE - E), constant_values=-1)
+        return cls(row_pairs, flat.reshape(-1, window), csr.num_nodes, E)
+
+    def tree_flatten(self):
+        return ((self.row_pairs, self.indices2d),
+                (self.num_nodes, self.num_edges))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    def sample_neighbors(self, frontier, fanout, key):
+        W = self.window
+        F = frontier.shape[0]
+        fvalid = frontier >= 0
+        pd = self.row_pairs[jnp.clip(frontier, 0, self.num_nodes - 1)]
+        row_start = jnp.where(fvalid, pd[:, 0], 0)
+        deg = jnp.where(fvalid, pd[:, 1], 0)
+        ok = deg > 0
+        k0, k1 = jax.random.split(key)
+        r0 = jax.random.randint(k0, (F,), 0, jnp.maximum(deg, 1),
+                                dtype=jnp.int32)
+        blk = (row_start + r0) // W
+        base = blk * W
+        lo = jnp.maximum(base, row_start)
+        hi = jnp.minimum(base + W, row_start + deg)
+        m = jnp.maximum(hi - lo, 1)
+        # absolute edge positions of the draws, inside the block
+        r = lo[:, None] + jax.random.randint(k1, (F, fanout), 0,
+                                             m[:, None], dtype=jnp.int32)
+        rows = self.indices2d[blk]                         # [F, W] row DMA
+        off = r - base[:, None]                            # [F, fanout]
+        sel = off[..., None] == jnp.arange(W, dtype=jnp.int32)
+        cand = jnp.sum(jnp.where(sel, rows[:, None, :], 0), axis=-1,
+                       dtype=jnp.int32)
+        cand = jnp.where(ok[:, None], cand, -1)
+        return cand.reshape(-1)
+
+
+@jax.tree_util.register_pytree_node_class
 class CachedTopoAccess(GraphAccess):
     """Hot sub-CSR in HBM + host fallback draws.
 

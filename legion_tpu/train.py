@@ -197,11 +197,18 @@ class Trainer:
         host_indptr = host_indices = host_feats = None
         dev_feats = None
 
+        def _hbm_access(csr):
+            if scfg.neighbor_window:
+                from legion_tpu.sampling.access import WindowedCSRAccess
+                return WindowedCSRAccess.from_csr(csr,
+                                                  scfg.neighbor_window)
+            return DeviceCSRAccess(csr)
+
         if device_ds:
             assert not cache_cfg.enabled, (
                 "host-cached storage needs a host dataset")
             self.csr, dev_feats, self.labels = dataset.device_arrays()
-            base_access = DeviceCSRAccess(self.csr)
+            base_access = _hbm_access(self.csr)
             degrees = self.csr.degrees()
         else:
             self.labels = jax.device_put(
@@ -222,7 +229,7 @@ class Trainer:
                     (host_indptr[1:] - host_indptr[:-1]).astype(np.int32))
             else:
                 self.csr = dataset.graph.to_device(rep)
-                base_access = DeviceCSRAccess(self.csr)
+                base_access = _hbm_access(self.csr)
                 degrees = self.csr.degrees()
 
         Kg = self.mesh.shape["member"]
@@ -285,7 +292,7 @@ class Trainer:
                 jax.device_put(jnp.asarray(slot_map), rep), host_feats,
                 Kg, R)
             self._use_clique = True
-            self.graph_access = DeviceCSRAccess(self.csr)
+            self.graph_access = _hbm_access(self.csr)
             return
         cache = UnifiedCache.build_from_host(
             plan, host_feats if feat_host else None,
@@ -302,7 +309,7 @@ class Trainer:
                 else jnp.full((1,), -1, jnp.int32),
                 host_indptr, host_indices)
         else:
-            self.graph_access = DeviceCSRAccess(self.csr)
+            self.graph_access = _hbm_access(self.csr)
         if feat_host:
             assert cache.slot_map is not None, (
                 "feature cache budget resolved to zero rows")
