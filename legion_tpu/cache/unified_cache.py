@@ -196,7 +196,12 @@ class _HostRef:
 
 @jax.tree_util.register_pytree_node_class
 class DeviceFeatureSource(FeatureSource):
-    """All features in HBM (graphs that fit — reference in-memory mode)."""
+    """All features in HBM (graphs that fit — reference in-memory mode).
+
+    Place the table with utils.layout.put_row_major — the default commit
+    is column-major on this runtime, which makes every consuming step
+    re-copy the whole table.
+    """
 
     def __init__(self, features: jax.Array):
         self.features = features

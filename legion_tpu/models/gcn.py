@@ -51,10 +51,17 @@ def gcn_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
         inv_sqrt_out = jnp.where(out_deg > 0, jax.lax.rsqrt(
             jnp.maximum(out_deg, 1)), 0)
 
-    hw = h_src @ params["w"]
-    agg, in_deg = hop_neighbor_sum(hw * inv_sqrt_out[:, None], edge_src,
-                                   fanout, hop_offset, num_dst,
-                                   aligned_offset)
+    d_in, d_out = params["w"].shape
+    if d_in > d_out:
+        # project first when it shrinks rows (DGL GraphConv ordering)
+        h_msg = (h_src @ params["w"]) * inv_sqrt_out[:, None]
+        agg, in_deg = hop_neighbor_sum(h_msg, edge_src, fanout, hop_offset,
+                                       num_dst, aligned_offset)
+    else:
+        h_msg = h_src * inv_sqrt_out[:, None].astype(h_src.dtype)
+        agg, in_deg = hop_neighbor_sum(h_msg, edge_src, fanout, hop_offset,
+                                       num_dst, aligned_offset)
+        agg = agg @ params["w"]
     inv_sqrt_in = jnp.where(in_deg > 0, jax.lax.rsqrt(
         jnp.maximum(in_deg, 1)), 0)
     out = agg * inv_sqrt_in[:, None]

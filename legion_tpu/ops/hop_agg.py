@@ -62,8 +62,10 @@ def hop_neighbor_sum(h_src: jax.Array, src_l: jax.Array, fanout: int,
     """Sum of neighbor features per dst and the neighbor count per dst.
     Returns (sum [num_dst, d], count [num_dst])."""
     msgs, valid = hop_gather_msgs(h_src, src_l, fanout, aligned_offset)
-    msum = jnp.sum(jnp.where(valid[..., None], msgs, 0), axis=1)
-    cnt = jnp.sum(valid, axis=1).astype(h_src.dtype)
+    # accumulate in f32 so bf16 feature storage loses no precision
+    acc = jnp.float32 if msgs.dtype == jnp.bfloat16 else msgs.dtype
+    msum = jnp.sum(jnp.where(valid[..., None], msgs, 0), axis=1, dtype=acc)
+    cnt = jnp.sum(valid, axis=1).astype(acc)
     return place_rows(msum, offset, num_dst), \
         place_rows(cnt, offset, num_dst)
 

@@ -130,6 +130,7 @@ class WindowedCSRAccess(GraphAccess):
     @classmethod
     def from_csr(cls, csr: DeviceCSR, window: int = 64
                  ) -> "WindowedCSRAccess":
+        from legion_tpu.utils.layout import put_row_major
         assert window & (window - 1) == 0, "window must be a power of two"
         starts = csr.indptr[:-1].astype(jnp.int32)
         deg = (csr.indptr[1:] - csr.indptr[:-1]).astype(jnp.int32)
@@ -137,7 +138,11 @@ class WindowedCSRAccess(GraphAccess):
         E = csr.num_edges
         pE = -(-E // window) * window
         flat = jnp.pad(csr.indices, (0, pE - E), constant_values=-1)
-        return cls(row_pairs, flat.reshape(-1, window), csr.num_nodes, E)
+        # row-major placement: the default commit is column-major here,
+        # which would make every step re-copy the table (utils/layout.py)
+        return cls(put_row_major(row_pairs),
+                   put_row_major(flat.reshape(-1, window)),
+                   csr.num_nodes, E)
 
     def tree_flatten(self):
         return ((self.row_pairs, self.indices2d),

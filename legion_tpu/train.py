@@ -260,13 +260,29 @@ class Trainer:
                 self.sampler_t = NeighborSampler(scfg, V)
                 self.compact_caps = tuple(caps)
 
+        from legion_tpu.utils.layout import put_row_major
+
+        def _feat_cast(arr):
+            # bf16 feature storage halves HBM residency and the hot
+            # feature-gather bytes; aggregation accumulates in f32
+            # (ops/hop_agg.py), matmuls promote, so training math holds
+            if config.train.compute_dtype == "bfloat16":
+                import jax.numpy as _jnp
+                return arr.astype(_jnp.bfloat16) if hasattr(arr, "astype") \
+                    else arr
+            return arr
+
         if not cache_cfg.enabled:
             self.graph_access = base_access
             if device_ds:
-                self.feature_source = DeviceFeatureSource(dev_feats)
-            else:
                 self.feature_source = DeviceFeatureSource(
-                    jax.device_put(host_feats, rep))
+                    put_row_major(_feat_cast(dev_feats)))
+            else:
+                import ml_dtypes
+                hf = host_feats if config.train.compute_dtype != "bfloat16" \
+                    else host_feats.astype(ml_dtypes.bfloat16)
+                self.feature_source = DeviceFeatureSource(
+                    put_row_major(hf, rep))
             return
 
         # topology hotness only matters if topology actually needs caching
@@ -315,8 +331,8 @@ class Trainer:
                 "feature cache budget resolved to zero rows")
             self.feature_source = CachedFeatureSource(cache, host_feats)
         else:
-            self.feature_source = DeviceFeatureSource(jax.device_put(
-                host_feats, rep))
+            self.feature_source = DeviceFeatureSource(
+                put_row_major(host_feats, rep))
 
     # ------------------------------------------------------------------
     def init_state(self, key: Optional[jax.Array] = None) -> Dict:

@@ -1,0 +1,36 @@
+"""Device-placement layout control.
+
+On this TPU runtime, ``jax.device_put`` commits 2-D tables column-major
+(major_to_minor=(1,0)); executables that row-gather from them then
+re-copy the WHOLE table to row-major inside the program on every call
+(measured ~3.5ms per step for a 1GB feature table). Placing the table
+row-major up front removes the per-step copy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def row_major_format(ndim: int, sharding: Optional[jax.sharding.Sharding]
+                     = None):
+    from jax.experimental.layout import Format, Layout
+    if sharding is None:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    return Format(Layout(major_to_minor=tuple(range(ndim))), sharding)
+
+
+def put_row_major(x, sharding: Optional[jax.sharding.Sharding] = None
+                  ) -> jax.Array:
+    """device_put with an explicit row-major layout (relayouts in place if
+    x is already on device). Plain device_put off-TPU (layouts are a TPU
+    concern; CPU ignores/rejects them)."""
+    if getattr(x, "ndim", 1) < 2 or jax.default_backend() != "tpu":
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return x if isinstance(x, jax.Array) else jax.device_put(x)
+    if sharding is None and isinstance(x, jax.Array):
+        sharding = x.sharding
+    return jax.device_put(x, row_major_format(x.ndim, sharding))
