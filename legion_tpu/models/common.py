@@ -72,7 +72,8 @@ def make_model(train_cfg: TrainConfig, sampler_cfg: SamplerConfig,
     name = train_cfg.model.lower()
     if name == "graphsage":
         return GraphSAGE(sampler_cfg, in_dim, train_cfg.hidden_dim,
-                         num_classes, dropout=train_cfg.dropout)
+                         num_classes, dropout=train_cfg.dropout,
+                         compute_dtype=train_cfg.compute_dtype)
     if name == "gcn":
         return GCN(sampler_cfg, in_dim, train_cfg.hidden_dim, num_classes,
                    dropout=train_cfg.dropout)

@@ -44,8 +44,10 @@ def sage_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
 class GraphSAGE:
     def __init__(self, sampler_cfg: SamplerConfig, in_dim: int,
                  hidden_dim: int, num_classes: int, dropout: float = 0.5,
-                 num_layers: Optional[int] = None):
+                 num_layers: Optional[int] = None,
+                 compute_dtype: Optional[str] = None):
         self.cfg = sampler_cfg
+        self.cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else None
         self.num_layers = num_layers or sampler_cfg.num_hops
         assert self.num_layers == sampler_cfg.num_hops, (
             "layer count must match sampling hops")
@@ -84,4 +86,9 @@ class GraphSAGE:
                 if rng is not None:
                     rng, sub = jax.random.split(rng)
                     h = dropout(h, self.dropout_rate, sub, train)
+                if self.cdt is not None:
+                    # bf16 activations between layers: the next layer's
+                    # per-edge row gather and its scatter-add transpose
+                    # move half the bytes; aggregation re-accumulates f32
+                    h = h.astype(self.cdt)
         return h[:self.cfg.batch_size]

@@ -130,7 +130,7 @@ class WindowedCSRAccess(GraphAccess):
     @classmethod
     def from_csr(cls, csr: DeviceCSR, window: int = 64
                  ) -> "WindowedCSRAccess":
-        from legion_tpu.utils.layout import put_row_major
+        from legion_tpu.utils.layout import put_row_major, put_with_layout
         assert window & (window - 1) == 0, "window must be a power of two"
         starts = csr.indptr[:-1].astype(jnp.int32)
         deg = (csr.indptr[1:] - csr.indptr[:-1]).astype(jnp.int32)
@@ -138,9 +138,11 @@ class WindowedCSRAccess(GraphAccess):
         E = csr.num_edges
         pE = -(-E // window) * window
         flat = jnp.pad(csr.indices, (0, pE - E), constant_values=-1)
-        # row-major placement: the default commit is column-major here,
-        # which would make every step re-copy the table (utils/layout.py)
-        return cls(put_row_major(row_pairs),
+        # explicit placement: the executable prefetches the pair table
+        # column-major into scoped memory and reads the edge blocks
+        # row-major; matching layouts at creation kills per-step re-copies
+        # (utils/layout.py)
+        return cls(put_with_layout(row_pairs, (1, 0)),
                    put_row_major(flat.reshape(-1, window)),
                    csr.num_nodes, E)
 

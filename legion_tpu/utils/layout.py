@@ -22,6 +22,22 @@ def row_major_format(ndim: int, sharding: Optional[jax.sharding.Sharding]
     return Format(Layout(major_to_minor=tuple(range(ndim))), sharding)
 
 
+def put_with_layout(x, major_to_minor, sharding:
+                    Optional[jax.sharding.Sharding] = None) -> jax.Array:
+    """device_put with an explicit dim order (TPU only; plain put
+    elsewhere)."""
+    from jax.experimental.layout import Format, Layout
+    if jax.default_backend() != "tpu":
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return x if isinstance(x, jax.Array) else jax.device_put(x)
+    if sharding is None:
+        sharding = x.sharding if isinstance(x, jax.Array) else \
+            jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    return jax.device_put(
+        x, Format(Layout(major_to_minor=tuple(major_to_minor)), sharding))
+
+
 def put_row_major(x, sharding: Optional[jax.sharding.Sharding] = None
                   ) -> jax.Array:
     """device_put with an explicit row-major layout (relayouts in place if
