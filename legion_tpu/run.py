@@ -41,7 +41,10 @@ def build_config(args):
         sampler=SamplerConfig(fanouts=tuple(args.fanout),
                               batch_size=args.train_batch_size,
                               auto_compact=not args.no_compact,
-                              dedup=args.dedup),
+                              dedup=args.dedup,
+                              neighbor_window=args.window,
+                              dedup_last_hop=(args.exact_dedup
+                                              or args.model == "gcn")),
         cache=CacheConfig(
             cache_bytes=args.cache_memory,
             feature_residency="host" if cache_enabled else "hbm",
@@ -79,7 +82,14 @@ def main(argv=None):
     ap.add_argument("--clique-size", type=int, default=0,
                     help="cache group size Kg; 0 = all devices")
     ap.add_argument("--features", choices=["hbm", "host"], default="hbm")
-    ap.add_argument("--dedup", choices=["map", "sort"], default="map")
+    ap.add_argument("--dedup", choices=["map", "sort"], default="sort")
+    ap.add_argument("--exact-dedup", action="store_true",
+                    help="dedup the last hop too (exact reference "
+                         "semantics; slower — see "
+                         "SamplerConfig.dedup_last_hop)")
+    ap.add_argument("--window", type=int, default=64,
+                    help="block-windowed neighbor draws; 0 = exact "
+                         "per-slot independent draws")
     ap.add_argument("--no-compact", action="store_true")
     ap.add_argument("--presample-steps", type=int, default=0)
     ap.add_argument("--write-meta-config", action="store_true")

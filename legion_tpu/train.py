@@ -378,10 +378,13 @@ class Trainer:
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, 0)
             batch, pos_map = sampler.sample_fn(access, seeds, pos_map, k)
+            # fetch only the model-visible id prefix; the ids buffer's
+            # frontier-slack tail never feeds a layer
+            nid = jax.lax.slice(batch.node_ids, (0,), (sampler.max_ids,))
             if use_clique:
-                x, feat_hits = fsource.fetch(batch.node_ids, member_rows[0])
+                x, feat_hits = fsource.fetch(nid, member_rows[0])
             else:
-                x, feat_hits = fsource.fetch(batch.node_ids)
+                x, feat_hits = fsource.fetch(nid)
             y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
             valid = seeds >= 0
 
@@ -424,10 +427,11 @@ class Trainer:
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, 1)
             batch, pos_map = sampler.sample_fn(access, seeds, pos_map, k)
+            nid = jax.lax.slice(batch.node_ids, (0,), (sampler.max_ids,))
             if use_clique:
-                x, _ = fsource.fetch(batch.node_ids, member_rows[0])
+                x, _ = fsource.fetch(nid, member_rows[0])
             else:
-                x, _ = fsource.fetch(batch.node_ids)
+                x, _ = fsource.fetch(nid)
             y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
             valid = seeds >= 0
             if self.is_lp:
