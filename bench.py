@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--exact-dedup", action="store_true")
     # block-windowed neighbor draws (0 = exact per-slot independent draws)
     ap.add_argument("--window", type=int, default=64)
+    # feature residency: hbm = all features on chip (in-memory mode);
+    # host = authoritative features in host RAM + hotness-driven HBM cache
+    # (Legion's core scenario for graphs whose features exceed device
+    # memory; misses become one batched host gather per step)
+    ap.add_argument("--features", choices=["hbm", "host"], default="hbm")
+    ap.add_argument("--cache-mem", type=int, default=200_000_000,
+                    help="HBM feature-cache bytes for --features host")
     args = ap.parse_args()
 
     import jax
@@ -59,17 +66,46 @@ def main():
         num_nodes=args.nodes, num_edges=args.edges,
         feature_dim=args.feature_dim, batch_size=args.batch)
     jax.block_until_ready(ds.features)
+    if args.features == "host":
+        # pull the synthetic graph to host RAM: host features become the
+        # authoritative store (the reference's pinned-UVA analog)
+        from legion_tpu.data.format import LegionDataset
+        from legion_tpu.graph import CSRGraph
+        csr_d, feats_d, labels_d = ds.device_arrays()
+        graph = CSRGraph(indptr=np.asarray(csr_d.indptr, np.int64),
+                         indices=np.asarray(csr_d.indices, np.int32))
+        tr, va, te = ds.seed_sets(1)
+        ds = LegionDataset(
+            meta=ds.meta, graph=graph,
+            features=np.asarray(feats_d, np.float32),
+            labels=np.asarray(labels_d, np.int32),
+            train_ids=np.asarray(tr[0]), valid_ids=np.asarray(va[0]),
+            test_ids=np.asarray(te[0]))
+        del csr_d, feats_d, labels_d
     gen_s = time.time() - t_setup
 
+    # lp_sage batches are (anchor, pos, neg) thirds
+    eval_bs = 510 if args.model == "lp_sage" else 512
+    if args.model == "lp_sage":
+        assert args.batch % 3 == 0, "lp_sage needs --batch divisible by 3"
     cfg = LegionConfig(
         dataset=ds.meta,
         sampler=SamplerConfig(fanouts=tuple(args.fanouts),
                               batch_size=args.batch, auto_compact=True,
+                              eval_batch_size=eval_bs,
                               dedup=args.dedup,
                               neighbor_window=args.window,
+                              # gcn: block-degree parity needs dedup;
+                              # gat: aligned mode would materialize
+                              # per-head projections for every duplicate
+                              # lane (heads x hidden wide)
                               dedup_last_hop=(args.exact_dedup
-                                              or args.model == "gcn")),
-        cache=CacheConfig(presample_steps=4),
+                                              or args.model in
+                                              ("gcn", "gat"))),
+        cache=CacheConfig(
+            presample_steps=4,
+            cache_bytes=args.cache_mem if args.features == "host" else 0,
+            feature_residency=args.features),
         train=TrainConfig(model=args.model, hidden_dim=args.hidden,
                           epochs=1),
         mesh=MeshConfig.for_devices(1),
@@ -122,6 +158,13 @@ def main():
             "last_loss": round(float(loss), 4),
         },
     }
+    if trainer.cache_plan is not None:
+        hits = int(trainer.last_feat_hits)
+        result["extra"]["feat_cache_hits_per_step"] = hits
+        result["extra"]["feat_cache_hit_rate"] = round(
+            hits / max(uniq_nodes, 1), 4)
+        result["extra"]["cache_alpha"] = round(trainer.cache_plan.alpha, 3)
+        result["extra"]["cache_feat_rows"] = trainer.cache_plan.feature_capacity
     print(json.dumps(result))
 
 

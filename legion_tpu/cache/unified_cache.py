@@ -132,7 +132,8 @@ class UnifiedCache:
                             np.int32)
             rows = native.gather_rows(
                 np.ascontiguousarray(host_features, np.float32), qf)
-            cache_rows = jax.device_put(rows)
+            from legion_tpu.utils.layout import put_row_major
+            cache_rows = put_row_major(rows)
             slot_map = jnp.full((V,), -1, jnp.int32).at[
                 jnp.asarray(qf)].set(
                 jnp.arange(plan.feature_capacity, dtype=jnp.int32))

@@ -223,6 +223,16 @@ class CacheConfig:
     # only the hot cache)
     feature_residency: str = "hbm"
     topo_residency: str = "hbm"
+    # how cache-miss feature rows reach the device:
+    #   "callback" — one batched pure_callback host gather inside the step
+    #                (single fused program; needs a runtime with host
+    #                send/recv support);
+    #   "staged"   — the step splits into sample/lookup and train programs
+    #                with a C++ host gather + device_put between them
+    #                (works on runtimes without callbacks, e.g. the
+    #                tunneled TPU used here);
+    #   "auto"     — staged on TPU, callback elsewhere.
+    host_transfer: str = "auto"
 
     @property
     def enabled(self) -> bool:

@@ -44,7 +44,8 @@ def build_config(args):
                               dedup=args.dedup,
                               neighbor_window=args.window,
                               dedup_last_hop=(args.exact_dedup
-                                              or args.model == "gcn")),
+                                              or args.model in
+                                              ("gcn", "gat"))),
         cache=CacheConfig(
             cache_bytes=args.cache_memory,
             feature_residency="host" if cache_enabled else "hbm",

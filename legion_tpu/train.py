@@ -161,11 +161,15 @@ class Trainer:
                 scfg.eval_batch_size % 3 == 0, (
                     "lp_sage batches are (anchor, pos, neg) thirds "
                     "(lp_sage.py:86-97)")
-        self._train_step = self._build_train_step()
-        self._eval_steps = {
-            Mode.VALID: self._build_eval_step(sch.valid_step, "valid_ctr"),
-            Mode.TEST: self._build_eval_step(sch.test_step, "test_ctr"),
-        }
+        if self._staged_host:
+            self._build_staged_steps()
+        else:
+            self._train_step = self._build_train_step()
+            self._eval_steps = {
+                Mode.VALID: self._build_eval_step(sch.valid_step,
+                                                  "valid_ctr"),
+                Mode.TEST: self._build_eval_step(sch.test_step, "test_ctr"),
+            }
         self.test_acc: Optional[float] = None
 
     # ------------------------------------------------------------------
@@ -188,6 +192,7 @@ class Trainer:
         self.cache_plan = None
         self.compact_caps = None
         self._use_clique = False
+        self._staged_host = False
         self.member_rows = jnp.zeros((1, 1, 1), jnp.float32)
 
         device_ds = hasattr(dataset, "device_arrays")
@@ -329,7 +334,23 @@ class Trainer:
         if feat_host:
             assert cache.slot_map is not None, (
                 "feature cache budget resolved to zero rows")
-            self.feature_source = CachedFeatureSource(cache, host_feats)
+            transfer = cache_cfg.host_transfer
+            if transfer == "auto":
+                transfer = "staged" if jax.default_backend() == "tpu" \
+                    else "callback"
+            if transfer == "staged":
+                # miss rows cross host->device between two programs (no
+                # in-program callback needed — see CacheConfig.host_transfer)
+                assert self.n_dev == 1, (
+                    "staged host-feature transfer is single-device; "
+                    "multi-device host features use the clique cache")
+                self._staged_host = True
+                self._cache = cache
+                self._host_feats = np.ascontiguousarray(
+                    host_feats, np.float32)
+                self.feature_source = None
+            else:
+                self.feature_source = CachedFeatureSource(cache, host_feats)
         else:
             self.feature_source = DeviceFeatureSource(
                 put_row_major(host_feats, rep))
@@ -472,7 +493,189 @@ class Trainer:
         return run
 
     # ------------------------------------------------------------------
+    # Staged host-feature path: the reference streams miss rows over
+    # zero-copy UVA inside its kernels (cache_impl.cuh:239-272); without
+    # in-program host callbacks the step splits into
+    #   [sample + cache lookup + miss compaction]  (device program A)
+    #   C++ parallel host gather of the compacted miss rows + device_put
+    #   [assemble features + fwd/bwd + update]     (device program B)
+    # The miss buffer's static width comes from probe batches (the
+    # reference's presampled-MaxIdNum trick applied to misses); a batch
+    # that overflows it falls back to a lazily compiled full-width core.
+
+    def _build_staged_steps(self) -> None:
+        sch = self.schedule
+        self._train_cores: Dict[int, object] = {}
+        self._eval_cores: Dict[Tuple[Mode, int], object] = {}
+        bs_t = self.config.sampler.batch_size
+        self._sample_train = self._make_staged_sample(
+            self.sampler_t, sch.train_step, bs_t, tag=0)
+        bs_e = self.config.sampler.eval_batch_size
+        self._sample_eval = self._make_staged_sample(
+            self.sampler_e, max(sch.valid_step, 1), bs_e, tag=1)
+        self._sample_eval_test = self._make_staged_sample(
+            self.sampler_e, max(sch.test_step, 1), bs_e, tag=1)
+        self._miss_cap = self._probe_miss_cap()
+        self._eval_steps = {
+            Mode.VALID: self._make_staged_eval(Mode.VALID, "valid_ctr"),
+            Mode.TEST: self._make_staged_eval(Mode.TEST, "test_ctr"),
+        }
+
+    def _staged_key(self, base_key, ctr, tag: int):
+        k = jax.random.fold_in(base_key, ctr)
+        k = jax.random.fold_in(k, tag)
+        return jax.random.fold_in(k, 0)  # single device => dev index 0
+
+    def _make_staged_sample(self, sampler, n_steps: int, bs: int, tag: int):
+        M = sampler.max_ids
+        imax = jnp.iinfo(jnp.int32).max
+
+        def sample(pos_map, ctr, base_key, bank, access, slot_map):
+            pos_map, bank = pos_map[0], bank[0]
+            lid = ctr % n_steps
+            seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
+            k = self._staged_key(base_key, ctr, tag)
+            batch, pos_map = sampler.sample_fn(access, seeds, pos_map, k)
+            nid = jax.lax.slice(batch.node_ids, (0,), (M,))
+            slot = jnp.where(
+                nid >= 0,
+                slot_map[jnp.clip(nid, 0, slot_map.shape[0] - 1)], -1)
+            miss = (nid >= 0) & (slot < 0)
+            lane = jnp.arange(M, dtype=jnp.int32)
+            mkey = jnp.where(miss, lane, imax)
+            sk, m_ids, m_pos = jax.lax.sort((mkey, nid, lane), dimension=0,
+                                            num_keys=1)
+            mvalid = sk != imax
+            m_ids = jnp.where(mvalid, m_ids, -1)
+            m_pos = jnp.where(mvalid, m_pos, -1)
+            n_miss = jnp.sum(miss, dtype=jnp.int32)
+            hits = jnp.sum(slot >= 0, dtype=jnp.int32)
+            return (batch, pos_map[None], seeds, slot, m_ids, m_pos,
+                    n_miss, hits)
+
+        return jax.jit(sample, donate_argnums=(0,))
+
+    def _probe_miss_cap(self, probes: int = 3) -> int:
+        """Measure worst-case cache misses over a few batches and size the
+        static miss buffer at 1.3x (server.cu:277's headroom rule)."""
+        M = self.sampler_t.max_ids
+        worst = 0
+        key = jax.random.PRNGKey(self.config.train.seed + 1)
+        for i in range(probes):
+            pm = jax.device_put(
+                np.full((1, self.sampler_t.state_size),
+                        np.iinfo(np.int32).max, np.int32))
+            out = self._sample_train(pm, jnp.int32(i), key,
+                                     self.train_bank, self.graph_access,
+                                     self._cache.slot_map)
+            worst = max(worst, int(out[6]))
+        cap = int(worst * 1.3) + 256
+        return min(M, -(-cap // 512) * 512)
+
+    def _make_train_core(self, cap: int):
+        sampler, model, tx = self.sampler_t, self.model_t, self.tx
+        M = sampler.max_ids
+        cache_rows = self._cache.cache_rows
+
+        def core(params, opt_state, ctr, base_key, batch, seeds, slot,
+                 m_pos, x_miss, labels):
+            x = jnp.where(
+                (slot >= 0)[:, None],
+                cache_rows[jnp.clip(slot, 0, cache_rows.shape[0] - 1)], 0)
+            mp = jax.lax.slice(m_pos, (0,), (cap,))
+            x = x.at[jnp.where(mp >= 0, mp, M)].set(x_miss, mode="drop")
+            k = self._staged_key(base_key, ctr, 0)
+            y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
+            valid = seeds >= 0
+
+            if self.is_lp:
+                def loss_fn(p):
+                    return model.loss(p, x, batch, valid, train=True,
+                                      rng=jax.random.fold_in(k, 7))
+            else:
+                def loss_fn(p):
+                    logits = model.apply(p, x, batch, train=True,
+                                         rng=jax.random.fold_in(k, 7))
+                    return _masked_ce(logits, y, valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, ctr + 1, loss
+
+        return jax.jit(core, donate_argnums=(0, 1))
+
+    def _make_staged_eval(self, mode: Mode, ctr_name: str):
+        from legion_tpu import native
+        sampler, model = self.sampler_e, self.model_e
+        bs = self.config.sampler.eval_batch_size
+        M = sampler.max_ids
+        cache_rows = self._cache.cache_rows
+        sample = self._sample_eval if mode == Mode.VALID \
+            else self._sample_eval_test
+
+        def core(params, correct, total, batch, seeds, slot, m_pos,
+                 x_miss, labels):
+            x = jnp.where(
+                (slot >= 0)[:, None],
+                cache_rows[jnp.clip(slot, 0, cache_rows.shape[0] - 1)], 0)
+            x = x.at[jnp.where(m_pos >= 0, m_pos, M)].set(x_miss,
+                                                          mode="drop")
+            y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
+            valid = seeds >= 0
+            if self.is_lp:
+                loss = model.loss(params, x, batch, valid, train=False)
+                t = jnp.sum(valid[: bs // 3], dtype=jnp.int32)
+                return correct + loss * t.astype(jnp.float32), \
+                    total + t.astype(jnp.float32)
+            logits = model.apply(params, x, batch, train=False)
+            pred = jnp.argmax(logits, axis=-1)
+            c = jnp.sum((pred == y) & valid, dtype=jnp.int32)
+            return correct + c, total + jnp.sum(valid, dtype=jnp.int32)
+
+        core_j = jax.jit(core, donate_argnums=(1, 2))
+
+        def run(state: Dict, bank) -> Dict:
+            (batch, pos_map, seeds, slot, m_ids, m_pos, n_miss,
+             hits) = sample(state["pos_map"], state[ctr_name],
+                            state["base_key"], bank, self.graph_access,
+                            self._cache.slot_map)
+            rows = native.gather_rows(self._host_feats, np.asarray(m_ids))
+            x_miss = jax.device_put(rows)
+            correct, total = core_j(state["params"], state["correct"],
+                                    state["total"], batch, seeds, slot,
+                                    m_pos, x_miss, self.labels)
+            return dict(state, pos_map=pos_map, correct=correct,
+                        total=total, **{ctr_name: state[ctr_name] + 1})
+
+        return run
+
+    def _staged_train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
+        from legion_tpu import native
+        (batch, pos_map, seeds, slot, m_ids, m_pos, n_miss,
+         hits) = self._sample_train(
+            state["pos_map"], state["train_ctr"], state["base_key"],
+            self.train_bank, self.graph_access, self._cache.slot_map)
+        ids_np = np.asarray(m_ids)
+        n = int(n_miss)
+        cap = self._miss_cap if n <= self._miss_cap \
+            else self.sampler_t.max_ids
+        if cap not in self._train_cores:
+            self._train_cores[cap] = self._make_train_core(cap)
+        rows = native.gather_rows(self._host_feats, ids_np[:cap])
+        x_miss = jax.device_put(rows)
+        params, opt_state, ctr, loss = self._train_cores[cap](
+            state["params"], state["opt_state"], state["train_ctr"],
+            state["base_key"], batch, seeds, slot, m_pos, x_miss,
+            self.labels)
+        self.last_feat_hits = hits
+        return dict(state, params=params, opt_state=opt_state,
+                    pos_map=pos_map, train_ctr=ctr), loss
+
+    # ------------------------------------------------------------------
     def train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
+        if self._staged_host:
+            return self._staged_train_step(state)
         params, opt_state, pos_map, ctr, loss, feat_hits = self._train_step(
             state["params"], state["opt_state"], state["pos_map"],
             state["train_ctr"], state["base_key"], self.train_bank,

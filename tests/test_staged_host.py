@@ -1,0 +1,77 @@
+"""Staged host-feature transfer (CacheConfig.host_transfer="staged").
+
+The staged path splits the fused step into sample/lookup and train
+programs with a host gather between them — required on runtimes without
+in-program host callbacks. It must be numerically identical to the
+callback path: same RNG stream, same assembled feature rows, same losses.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from legion_tpu.config import (CacheConfig, LegionConfig, MeshConfig,
+                               SamplerConfig, TrainConfig)
+from legion_tpu.pipeline import Mode
+from legion_tpu.train import Trainer
+
+
+def _cfg(ds, transfer):
+    return LegionConfig(
+        dataset=ds.meta,
+        sampler=SamplerConfig(fanouts=(5, 3), batch_size=64,
+                              eval_batch_size=32, dedup="sort"),
+        cache=CacheConfig(cache_bytes=200_000, feature_residency="host",
+                          presample_steps=2, host_transfer=transfer),
+        train=TrainConfig(model="graphsage", hidden_dim=16, epochs=1,
+                          seed=3),
+        mesh=MeshConfig.for_devices(1),
+    )
+
+
+@pytest.fixture(scope="module")
+def trainers(small_dataset):
+    ds = small_dataset
+    t_cb = Trainer(ds, _cfg(ds, "callback"))
+    t_st = Trainer(ds, _cfg(ds, "staged"))
+    assert not t_cb._staged_host and t_st._staged_host
+    return t_cb, t_st
+
+
+def test_staged_matches_callback_losses(trainers):
+    t_cb, t_st = trainers
+    s_cb = t_cb.init_state()
+    s_st = t_st.init_state()
+    for _ in range(3):
+        s_cb, l_cb = t_cb.train_step(s_cb)
+        s_st, l_st = t_st.train_step(s_st)
+        np.testing.assert_allclose(float(l_cb), float(l_st), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_staged_eval_matches_callback(trainers):
+    t_cb, t_st = trainers
+    s_cb = t_cb.init_state()
+    s_st = t_st.init_state()
+    s_cb, acc_cb = t_cb.run_eval(s_cb, Mode.VALID)
+    s_st, acc_st = t_st.run_eval(s_st, Mode.VALID)
+    assert abs(acc_cb - acc_st) < 1e-6, (acc_cb, acc_st)
+
+
+def test_staged_hits_counted(trainers):
+    _, t_st = trainers
+    s = t_st.init_state()
+    s, _ = t_st.train_step(s)
+    hits = int(t_st.last_feat_hits)
+    assert 0 < hits <= t_st.sampler_t.max_ids
+
+
+def test_miss_cap_overflow_falls_back(trainers, small_dataset):
+    """A batch with more misses than the probed cap must still train
+    correctly via the full-width core."""
+    _, t_st = trainers
+    s = t_st.init_state()
+    t_st._miss_cap = 1  # force overflow
+    s, loss = t_st.train_step(s)
+    assert np.isfinite(float(loss))
+    assert t_st.sampler_t.max_ids in t_st._train_cores
