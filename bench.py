@@ -130,14 +130,20 @@ def main():
     dt = time.time() - t0
     step_time = dt / n_steps
 
-    # true valid-edge/node counts measured on one sampled batch
+    # true valid-edge/node counts measured on one sampled batch. With the
+    # lane-aligned last hop, num_nodes[-1] counts valid LANES (duplicates
+    # included); the deduped unique count is recomputed host-side so
+    # "unique_nodes_per_step" means the same thing in every mode
+    # (round-1 advisor finding).
     sampler = NeighborSampler(cfg.sampler, ds.meta.num_nodes)
     seeds = jax.lax.dynamic_slice(
         trainer.train_bank[0], (0,), (args.batch,))
-    b, _ = sampler.sample(trainer.csr, seeds, sampler.init_state(),
-                          jax.random.PRNGKey(1))
+    b, _ = sampler.sample(trainer.graph_access, seeds,
+                          sampler.init_state(), jax.random.PRNGKey(1))
     valid_edges = int(np.asarray(b.num_edges).sum())
-    uniq_nodes = int(np.asarray(b.num_nodes)[-1])
+    ids_np = np.asarray(b.node_ids)
+    node_slots = int(np.asarray(b.num_nodes)[-1])
+    uniq_nodes = int(len(np.unique(ids_np[ids_np >= 0])))
 
     edges_per_s = valid_edges / step_time
     result = {
@@ -151,6 +157,7 @@ def main():
             "sampled_nodes_per_s": round(uniq_nodes / step_time, 1),
             "valid_edges_per_step": valid_edges,
             "unique_nodes_per_step": uniq_nodes,
+            "node_slots_per_step": node_slots,
             "steps_measured": n_steps,
             "datagen_s": round(gen_s, 2),
             "warmup_s": round(compile_s, 2),
@@ -161,8 +168,9 @@ def main():
     if trainer.cache_plan is not None:
         hits = int(trainer.last_feat_hits)
         result["extra"]["feat_cache_hits_per_step"] = hits
+        # hits are counted per fetched id slot, so rate over slots
         result["extra"]["feat_cache_hit_rate"] = round(
-            hits / max(uniq_nodes, 1), 4)
+            hits / max(node_slots, 1), 4)
         result["extra"]["cache_alpha"] = round(trainer.cache_plan.alpha, 3)
         result["extra"]["cache_feat_rows"] = trainer.cache_plan.feature_capacity
     print(json.dumps(result))

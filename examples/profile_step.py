@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--fanouts", type=int, nargs="+", default=[25, 10])
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--dedup", default="map", choices=["map", "sort"])
+    ap.add_argument("--window", type=int, default=64)
+    ap.add_argument("--exact-dedup", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +58,9 @@ def main():
         dataset=ds.meta,
         sampler=SamplerConfig(fanouts=tuple(args.fanouts),
                               batch_size=args.batch, auto_compact=True,
-                              dedup=args.dedup),
+                              dedup=args.dedup,
+                              neighbor_window=args.window,
+                              dedup_last_hop=args.exact_dedup),
         cache=CacheConfig(presample_steps=4),
         train=TrainConfig(model="graphsage", hidden_dim=args.hidden,
                           epochs=1),

@@ -71,6 +71,16 @@ def gcn_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
 class GCN:
     def __init__(self, sampler_cfg: SamplerConfig, in_dim: int,
                  hidden_dim: int, num_classes: int, dropout: float = 0.5):
+        if sampler_cfg.aligned_hop_offset(sampler_cfg.num_hops - 1) \
+                is not None:
+            import warnings
+            warnings.warn(
+                "GCN with dedup_last_hop=False changes norm='both' "
+                "semantics: a node drawn m times counts as m degree-1 "
+                "slots instead of one degree-m node. Set "
+                "SamplerConfig(dedup_last_hop=True) for exact parity "
+                "with the reference's DGL blocks (legion_gcn.py:68-96).",
+                stacklevel=2)
         self.cfg = sampler_cfg
         self.num_layers = sampler_cfg.num_hops
         self.dims = ([in_dim] + [hidden_dim] * (self.num_layers - 1)

@@ -132,8 +132,12 @@ class WindowedCSRAccess(GraphAccess):
                  ) -> "WindowedCSRAccess":
         from legion_tpu.utils.layout import put_row_major, put_with_layout
         assert window & (window - 1) == 0, "window must be a power of two"
-        starts = csr.indptr[:-1].astype(jnp.int32)
-        deg = (csr.indptr[1:] - csr.indptr[:-1]).astype(jnp.int32)
+        # keep edge offsets in the CSR's own offset dtype: graphs with
+        # >= 2**31 edges carry int64 indptr (graph.py downcasts only when
+        # E fits int32), and a silent int32 wrap here would corrupt draws
+        odt = jnp.int64 if csr.num_edges >= 2 ** 31 else jnp.int32
+        starts = csr.indptr[:-1].astype(odt)
+        deg = (csr.indptr[1:] - csr.indptr[:-1]).astype(odt)
         row_pairs = jnp.stack([starts, deg], axis=1)
         E = csr.num_edges
         pE = -(-E // window) * window
@@ -163,18 +167,25 @@ class WindowedCSRAccess(GraphAccess):
         deg = jnp.where(fvalid, pd[:, 1], 0)
         ok = deg > 0
         k0, k1 = jax.random.split(key)
-        r0 = jax.random.randint(k0, (F,), 0, jnp.maximum(deg, 1),
+        # r0 picks the block; degrees above int32 (possible only on
+        # pathological >2B-degree rows) clip, slightly biasing block
+        # choice on those rows while keeping within-block draws exact
+        deg32 = jnp.minimum(deg, jnp.asarray(2 ** 31 - 1, deg.dtype)
+                            ).astype(jnp.int32)
+        r0 = jax.random.randint(k0, (F,), 0, jnp.maximum(deg32, 1),
                                 dtype=jnp.int32)
-        blk = (row_start + r0) // W
+        # block math stays in the pair table's offset dtype (int64 for
+        # >=2**31-edge graphs); per-block offsets then fit int32
+        blk = (row_start + r0.astype(row_start.dtype)) // W
         base = blk * W
-        lo = jnp.maximum(base, row_start)
-        hi = jnp.minimum(base + W, row_start + deg)
+        lo = (jnp.maximum(base, row_start) - base).astype(jnp.int32)
+        hi = (jnp.minimum(base + W, row_start + deg) - base).astype(
+            jnp.int32)
         m = jnp.maximum(hi - lo, 1)
-        # absolute edge positions of the draws, inside the block
-        r = lo[:, None] + jax.random.randint(k1, (F, fanout), 0,
-                                             m[:, None], dtype=jnp.int32)
+        # within-block offsets of the draws
+        off = lo[:, None] + jax.random.randint(k1, (F, fanout), 0,
+                                               m[:, None], dtype=jnp.int32)
         rows = self.indices2d[blk]                         # [F, W] row DMA
-        off = r - base[:, None]                            # [F, fanout]
         sel = off[..., None] == jnp.arange(W, dtype=jnp.int32)
         cand = jnp.sum(jnp.where(sel, rows[:, None, :], 0), axis=-1,
                        dtype=jnp.int32)

@@ -424,15 +424,21 @@ class Trainer:
             loss = jax.lax.pmean(loss, self.axes)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            # per-step counters for StepMetrics (the live PCM analog,
+            # monitor.cuh:83-135 role): trained edges, fetched id slots
+            edges = jnp.sum(batch.num_edges, dtype=jnp.int32)
+            slots = jnp.sum(nid >= 0, dtype=jnp.int32)
             return params, opt_state, pos_map[None], ctr + 1, loss, \
-                jax.lax.psum(feat_hits, self.axes)
+                jax.lax.psum(feat_hits, self.axes), \
+                jax.lax.psum(edges, self.axes), \
+                jax.lax.psum(slots, self.axes)
 
         mr_spec = P("member", None, None) if use_clique else P()
         sm = _shard_map(
             step, self.mesh,
             in_specs=(P(), P(), self._DP, P(), P(), self._DPN, P(), P(),
                       mr_spec, P()),
-            out_specs=(P(), P(), self._DP, P(), P(), P()))
+            out_specs=(P(), P(), self._DP, P(), P(), P(), P(), P()))
         return jax.jit(sm, donate_argnums=(0, 1, 2, 3))
 
     def _build_eval_step(self, n_steps: int, ctr_name: str):
@@ -499,14 +505,19 @@ class Trainer:
     #   [sample + cache lookup + miss compaction]  (device program A)
     #   C++ parallel host gather of the compacted miss rows + device_put
     #   [assemble features + fwd/bwd + update]     (device program B)
-    # The miss buffer's static width comes from probe batches (the
-    # reference's presampled-MaxIdNum trick applied to misses); a batch
-    # that overflows it falls back to a lazily compiled full-width core.
+    # The miss buffer's static width comes from an epoch-wide probe pass
+    # (the reference presamples max sizes over the whole epoch,
+    # server.cu:275-283); a rare batch overflowing the cap DROPS the tail
+    # misses (zero rows) like every other overflow in the system — no
+    # mid-training recompile.
+    #
+    # Inter-batch overlap (INTERBATCH_CON=2, system_config.cuh:47):
+    # program A for step N+1 is dispatched before step N's host gather, so
+    # the device runs [A_{N+1}, B_N] while the host gathers N+1's rows.
 
     def _build_staged_steps(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
         sch = self.schedule
-        self._train_cores: Dict[int, object] = {}
-        self._eval_cores: Dict[Tuple[Mode, int], object] = {}
         bs_t = self.config.sampler.batch_size
         self._sample_train = self._make_staged_sample(
             self.sampler_t, sch.train_step, bs_t, tag=0)
@@ -515,7 +526,23 @@ class Trainer:
             self.sampler_e, max(sch.valid_step, 1), bs_e, tag=1)
         self._sample_eval_test = self._make_staged_sample(
             self.sampler_e, max(sch.test_step, 1), bs_e, tag=1)
+        # pipeline-owned sampler state: the train sample chain donates and
+        # re-emits this buffer; eval keeps using state["pos_map"] — safe
+        # because every sample fully clears its marks (ClearPosMap), so all
+        # post-sample maps are content-equivalent
+        self._staged_pm = jax.device_put(
+            np.full((1, self.sampler_t.state_size),
+                    np.iinfo(np.int32).max, np.int32))
         self._miss_cap = self._probe_miss_cap()
+        self._eval_miss_cap = self._probe_eval_miss_cap()
+        self._train_core = self._make_train_core(self._miss_cap)
+        # one-step sample lookahead (the reference's INTERBATCH_CON=2
+        # producer/consumer pipeline, system_config.cuh:47): device runs
+        # [A_{N+1}, B_N] while a worker thread host-gathers step N+1's rows
+        self._gather_pool = ThreadPoolExecutor(max_workers=1)
+        self._prefetch: Optional[Tuple] = None   # (ctr, outs, gather future)
+        self._last_ctr_obj = None                # resync detector
+        self._staged_ctr = 0
         self._eval_steps = {
             Mode.VALID: self._make_staged_eval(Mode.VALID, "valid_ctr"),
             Mode.TEST: self._make_staged_eval(Mode.TEST, "test_ctr"),
@@ -550,26 +577,49 @@ class Trainer:
             m_pos = jnp.where(mvalid, m_pos, -1)
             n_miss = jnp.sum(miss, dtype=jnp.int32)
             hits = jnp.sum(slot >= 0, dtype=jnp.int32)
+            edges = jnp.sum(batch.num_edges, dtype=jnp.int32)
             return (batch, pos_map[None], seeds, slot, m_ids, m_pos,
-                    n_miss, hits)
+                    n_miss, hits, edges)
 
         return jax.jit(sample, donate_argnums=(0,))
 
-    def _probe_miss_cap(self, probes: int = 3) -> int:
-        """Measure worst-case cache misses over a few batches and size the
-        static miss buffer at 1.3x (server.cu:277's headroom rule)."""
+    def _probe_miss_cap(self) -> int:
+        """Measure worst-case cache misses over (up to) a full epoch of
+        batches and size the static miss buffer at 1.2x — the reference's
+        epoch-wide presample sizing rule (server.cu:275-283). Batches are
+        cheap here: only program A runs, no features move."""
         M = self.sampler_t.max_ids
+        probes = min(self.schedule.train_step, 64)
         worst = 0
         key = jax.random.PRNGKey(self.config.train.seed + 1)
+        counts = []
         for i in range(probes):
-            pm = jax.device_put(
-                np.full((1, self.sampler_t.state_size),
-                        np.iinfo(np.int32).max, np.int32))
-            out = self._sample_train(pm, jnp.int32(i), key,
+            out = self._sample_train(self._staged_pm, jnp.int32(i), key,
                                      self.train_bank, self.graph_access,
                                      self._cache.slot_map)
+            self._staged_pm = out[1]
+            counts.append(out[6])
+        for c in counts:
+            worst = max(worst, int(c))
+        cap = int(worst * 1.2) + 256
+        return min(M, -(-cap // 512) * 512)
+
+    def _probe_eval_miss_cap(self) -> int:
+        """Same sizing rule for the eval sampler's miss buffer (round-1
+        advisor: eval gathered the full max_ids-wide buffer per step)."""
+        M = self.sampler_e.max_ids
+        worst = 0
+        key = jax.random.PRNGKey(self.config.train.seed + 1)
+        pm = jax.device_put(
+            np.full((1, self.sampler_e.state_size),
+                    np.iinfo(np.int32).max, np.int32))
+        for i in range(min(max(self.schedule.valid_step, 1), 8)):
+            out = self._sample_eval(pm, jnp.int32(i), key,
+                                    self.valid_bank, self.graph_access,
+                                    self._cache.slot_map)
+            pm = out[1]
             worst = max(worst, int(out[6]))
-        cap = int(worst * 1.3) + 256
+        cap = int(worst * 1.5) + 256
         return min(M, -(-cap // 512) * 512)
 
     def _make_train_core(self, cap: int):
@@ -610,6 +660,7 @@ class Trainer:
         sampler, model = self.sampler_e, self.model_e
         bs = self.config.sampler.eval_batch_size
         M = sampler.max_ids
+        cap = self._eval_miss_cap
         cache_rows = self._cache.cache_rows
         sample = self._sample_eval if mode == Mode.VALID \
             else self._sample_eval_test
@@ -619,8 +670,8 @@ class Trainer:
             x = jnp.where(
                 (slot >= 0)[:, None],
                 cache_rows[jnp.clip(slot, 0, cache_rows.shape[0] - 1)], 0)
-            x = x.at[jnp.where(m_pos >= 0, m_pos, M)].set(x_miss,
-                                                          mode="drop")
+            mp = jax.lax.slice(m_pos, (0,), (cap,))
+            x = x.at[jnp.where(mp >= 0, mp, M)].set(x_miss, mode="drop")
             y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
             valid = seeds >= 0
             if self.is_lp:
@@ -637,10 +688,11 @@ class Trainer:
 
         def run(state: Dict, bank) -> Dict:
             (batch, pos_map, seeds, slot, m_ids, m_pos, n_miss,
-             hits) = sample(state["pos_map"], state[ctr_name],
-                            state["base_key"], bank, self.graph_access,
-                            self._cache.slot_map)
-            rows = native.gather_rows(self._host_feats, np.asarray(m_ids))
+             hits, edges) = sample(state["pos_map"], state[ctr_name],
+                                   state["base_key"], bank,
+                                   self.graph_access, self._cache.slot_map)
+            rows = native.gather_rows(self._host_feats,
+                                      np.asarray(m_ids)[:cap])
             x_miss = jax.device_put(rows)
             correct, total = core_j(state["params"], state["correct"],
                                     state["total"], batch, seeds, slot,
@@ -650,38 +702,70 @@ class Trainer:
 
         return run
 
-    def _staged_train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
+    def _gather_train_miss(self, m_ids) -> jax.Array:
+        """Worker-thread half of the pipeline: block on the sample program's
+        miss ids, gather their rows from host features (parallel C++), ship
+        to HBM. The reference does this inside its kernels over UVA
+        (cache_impl.cuh:239-272); staged it overlaps with device compute."""
         from legion_tpu import native
-        (batch, pos_map, seeds, slot, m_ids, m_pos, n_miss,
-         hits) = self._sample_train(
-            state["pos_map"], state["train_ctr"], state["base_key"],
-            self.train_bank, self.graph_access, self._cache.slot_map)
-        ids_np = np.asarray(m_ids)
-        n = int(n_miss)
-        cap = self._miss_cap if n <= self._miss_cap \
-            else self.sampler_t.max_ids
-        if cap not in self._train_cores:
-            self._train_cores[cap] = self._make_train_core(cap)
-        rows = native.gather_rows(self._host_feats, ids_np[:cap])
-        x_miss = jax.device_put(rows)
-        params, opt_state, ctr, loss = self._train_cores[cap](
+        ids_np = np.asarray(m_ids)[: self._miss_cap]
+        rows = native.gather_rows(self._host_feats, ids_np)
+        return jax.device_put(rows)
+
+    def _dispatch_staged_sample(self, pm, ctr: int, base_key):
+        out = self._sample_train(pm, jnp.int32(ctr), base_key,
+                                 self.train_bank, self.graph_access,
+                                 self._cache.slot_map)
+        # pm was donated into the sample; the chain head is its output
+        self._staged_pm = out[1]
+        fut = self._gather_pool.submit(self._gather_train_miss, out[4])
+        return ctr, out, fut
+
+    def _staged_train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
+        if state["train_ctr"] is not self._last_ctr_obj:
+            # fresh/restored state: resync the host ctr mirror and drop any
+            # stale lookahead (its pos_map chain stays valid — cleared maps
+            # are content-equivalent)
+            self._staged_ctr = int(state["train_ctr"])
+            if self._prefetch is not None and \
+                    self._prefetch[0] != self._staged_ctr:
+                self._prefetch = None
+        ctr_host = self._staged_ctr
+        if self._prefetch is None:
+            self._prefetch = self._dispatch_staged_sample(
+                self._staged_pm, ctr_host, state["base_key"])
+        _, out, fut = self._prefetch
+        (batch, pm, seeds, slot, m_ids, m_pos, n_miss, hits, edges) = out
+        # dispatch step N+1's sample before blocking on step N's gather:
+        # the device executes A_{N+1} while the host feeds B_N
+        self._prefetch = self._dispatch_staged_sample(
+            pm, ctr_host + 1, state["base_key"])
+        x_miss = fut.result()
+        params, opt_state, ctr, loss = self._train_core(
             state["params"], state["opt_state"], state["train_ctr"],
             state["base_key"], batch, seeds, slot, m_pos, x_miss,
             self.labels)
+        self._staged_ctr = ctr_host + 1
+        self._last_ctr_obj = ctr
         self.last_feat_hits = hits
+        self.last_edges = edges
+        self.last_slots = hits + n_miss
         return dict(state, params=params, opt_state=opt_state,
-                    pos_map=pos_map, train_ctr=ctr), loss
+                    train_ctr=ctr), loss
 
     # ------------------------------------------------------------------
     def train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
         if self._staged_host:
             return self._staged_train_step(state)
-        params, opt_state, pos_map, ctr, loss, feat_hits = self._train_step(
+        (params, opt_state, pos_map, ctr, loss, feat_hits, edges,
+         slots) = self._train_step(
             state["params"], state["opt_state"], state["pos_map"],
             state["train_ctr"], state["base_key"], self.train_bank,
             self.graph_access, self.feature_source, self.member_rows,
             self.labels)
         self.last_feat_hits = feat_hits
+        self.last_edges = edges
+        self.last_slots = slots
         return dict(state, params=params, opt_state=opt_state,
                     pos_map=pos_map, train_ctr=ctr), loss
 

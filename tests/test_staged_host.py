@@ -66,12 +66,36 @@ def test_staged_hits_counted(trainers):
     assert 0 < hits <= t_st.sampler_t.max_ids
 
 
-def test_miss_cap_overflow_falls_back(trainers, small_dataset):
-    """A batch with more misses than the probed cap must still train
-    correctly via the full-width core."""
+def test_miss_cap_overflow_drops_tail(small_dataset, monkeypatch):
+    """A batch with more misses than the probed cap trains with the tail
+    misses dropped (zero feature rows) — no mid-training recompile
+    (the reference sizes once from an epoch-wide presample,
+    server.cu:275-283)."""
+    ds = small_dataset
+    monkeypatch.setattr(Trainer, "_probe_miss_cap", lambda self: 8)
+    t = Trainer(ds, _cfg(ds, "staged"))
+    assert t._miss_cap == 8
+    s = t.init_state()
+    for _ in range(2):
+        s, loss = t.train_step(s)
+        assert np.isfinite(float(loss))
+    # still exactly one compiled train core — overflow never recompiles
+    assert not hasattr(t, "_train_cores")
+
+
+def test_staged_prefetch_pipeline_chains(trainers):
+    """The one-step sample lookahead must produce the same losses when an
+    eval pass interrupts the train chain (prefetch survives or resyncs)."""
     _, t_st = trainers
     s = t_st.init_state()
-    t_st._miss_cap = 1  # force overflow
-    s, loss = t_st.train_step(s)
-    assert np.isfinite(float(loss))
-    assert t_st.sampler_t.max_ids in t_st._train_cores
+    s, l0 = t_st.train_step(s)
+    s, _ = t_st.run_eval(s, Mode.VALID)
+    s, l1 = t_st.train_step(s)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    # fresh trainer, no eval interruption: identical loss sequence
+    t2 = Trainer(t_st.dataset, _cfg(t_st.dataset, "staged"))
+    s2 = t2.init_state()
+    s2, m0 = t2.train_step(s2)
+    s2, m1 = t2.train_step(s2)
+    np.testing.assert_allclose(float(l0), float(m0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l1), float(m1), rtol=1e-5, atol=1e-6)
