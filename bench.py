@@ -168,9 +168,10 @@ def main():
     if trainer.cache_plan is not None:
         hits = int(trainer.last_feat_hits)
         result["extra"]["feat_cache_hits_per_step"] = hits
-        # hits are counted per fetched id slot, so rate over slots
+        # same-step counters: hits and slots come off the SAME final train
+        # step (round-2 advisor: mixing batches could push the ratio >1)
         result["extra"]["feat_cache_hit_rate"] = round(
-            hits / max(node_slots, 1), 4)
+            hits / max(int(trainer.last_slots), 1), 4)
         result["extra"]["cache_alpha"] = round(trainer.cache_plan.alpha, 3)
         result["extra"]["cache_feat_rows"] = trainer.cache_plan.feature_capacity
     print(json.dumps(result))

@@ -116,6 +116,13 @@ class SamplerConfig:
     node_caps: Optional[Tuple[int, ...]] = None
     # auto-measure node_caps from a presampling pass (Trainer)
     auto_compact: bool = False
+    # headroom multiplier on the presampled per-hop max unique-node counts
+    # (the reference uses 1.2x, server.cu:277). Every downstream buffer —
+    # the feature gather, layer activations, edge lists — scales with it;
+    # at 1.1x the bench step's gathered slots drop ~10% vs 1.2x. Overflow
+    # (a batch exceeding the cap) drops the excess nodes masked, and is
+    # observable via the per-step `last_slots` counter dipping.
+    cap_headroom: float = 1.1
     # dedup strategy: "map" = O(E) scatters into a [V] position map
     # (Legion's algorithm, operator_impl.cu bitmap+position_map); "sort" =
     # sort-based dedup with NO O(V) state — scales to billion-vertex
@@ -233,6 +240,17 @@ class CacheConfig:
     #                tunneled TPU used here);
     #   "auto"     — staged on TPU, callback elsewhere.
     host_transfer: str = "auto"
+    # id->slot map implementation: "direct" = [V] int32 table (one gather,
+    # fastest; 4B/vertex/map), "hash" = bucketed open-addressing map
+    # (~32B per CACHED vertex regardless of V — the BGHT role,
+    # cache.cu:71-88, for billion-vertex graphs whose direct tables no
+    # longer fit HBM), "auto" = hash when |V| >= 200M.
+    map_impl: str = "auto"
+
+    def resolve_map_impl(self, num_nodes: int) -> str:
+        if self.map_impl != "auto":
+            return self.map_impl
+        return "hash" if num_nodes >= 200_000_000 else "direct"
 
     @property
     def enabled(self) -> bool:
@@ -262,6 +280,15 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     seed: int = 0
+    # Inter-batch software pipelining of the fused step: train on batch N
+    # (MXU-bound) while sampling + feature-gathering batch N+1 (DMA-bound)
+    # in the SAME program — XLA overlaps the independent streams (measured:
+    # a 4.6ms matmul rides entirely under a 10.8ms gather). Numerically
+    # EXACT: batch N still trains on the params of step N-1 with the same
+    # RNG stream; only the schedule changes. The reference needed the
+    # 2-deep IPC producer/consumer pipeline + 3 CUDA streams for the same
+    # overlap (system_config.cuh:47-48, server.cu:311-317).
+    interbatch: bool = True
 
 
 @dataclass(frozen=True)

@@ -33,11 +33,25 @@ def sage_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
 
     Neighbor mean uses the scatter-free dense hop aggregation
     (ops/hop_agg.py) enabled by the sampler's structured edge layout.
+
+    When the layer SHRINKS rows (d_in > d_out) and the hop needs a real
+    per-edge gather, the linear W_neigh projection commutes with the mean:
+    project h_src first, then gather/mean d_out-wide rows — the per-edge
+    row gather and its backward scatter-add (the single hottest backward
+    op, measured 7.6ms at [200k, 256] f32) move d_out/d_in of the bytes.
+    Math is identical: mean(h W) == mean(h) W.
     """
     h_dst = h_src[:num_dst]
-    h_neigh = hop_neighbor_mean(h_src, edge_src, fanout, hop_offset,
-                                num_dst, aligned_offset)
-    out = h_dst @ params["w_self"] + h_neigh @ params["w_neigh"]
+    d_in, d_out = params["w_neigh"].shape
+    if aligned_offset is None and d_in > d_out:
+        hp = (h_src @ params["w_neigh"]).astype(h_src.dtype)
+        h_neigh = hop_neighbor_mean(hp, edge_src, fanout, hop_offset,
+                                    num_dst, aligned_offset)
+        out = h_dst @ params["w_self"] + h_neigh
+    else:
+        h_neigh = hop_neighbor_mean(h_src, edge_src, fanout, hop_offset,
+                                    num_dst, aligned_offset)
+        out = h_dst @ params["w_self"] + h_neigh @ params["w_neigh"]
     return out + params["b"]
 
 

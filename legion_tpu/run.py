@@ -82,6 +82,15 @@ def main(argv=None):
                     help="0 = all visible devices")
     ap.add_argument("--clique-size", type=int, default=0,
                     help="cache group size Kg; 0 = all devices")
+    # multi-process / multi-host bring-up (jax.distributed); launch one
+    # process per host with the same coordinator (reference scope: seeds
+    # partitioned per clique via the `partition` file,
+    # storage_management.cu:171-232 — here partitions map to global
+    # devices across hosts)
+    ap.add_argument("--coordinator", default="",
+                    help="ip:port of process 0 for jax.distributed")
+    ap.add_argument("--num-processes", type=int, default=0)
+    ap.add_argument("--process-id", type=int, default=-1)
     ap.add_argument("--features", choices=["hbm", "host"], default="hbm")
     ap.add_argument("--dedup", choices=["map", "sort"], default="sort")
     ap.add_argument("--exact-dedup", action="store_true",
@@ -95,12 +104,29 @@ def main(argv=None):
     ap.add_argument("--presample-steps", type=int, default=0)
     ap.add_argument("--write-meta-config", action="store_true")
     ap.add_argument("--checkpoint-dir", default="")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save a checkpoint every N epochs (0 = only at "
+                         "the end)")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint from "
+                         "--checkpoint-dir before training")
     # synthetic fallback sizing
     ap.add_argument("--nodes", type=int, default=100_000)
     ap.add_argument("--avg-degree", type=int, default=15)
     ap.add_argument("--feature-dim", type=int, default=100)
     ap.add_argument("--classes", type=int, default=47)
     args = ap.parse_args(argv)
+
+    mesh = None
+    if args.coordinator:
+        from legion_tpu.parallel import multihost
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        mesh = multihost.make_multihost_mesh(
+            clique_size=args.clique_size or None)
+        print(f"process {jax.process_index()}/{jax.process_count()}: "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     cfg = build_config(args)
     if args.dataset_name == "synthetic":
@@ -116,7 +142,7 @@ def main(argv=None):
         ds = LegionDataset.load(cfg.dataset)
 
     from legion_tpu.train import Trainer
-    trainer = Trainer(ds, cfg)
+    trainer = Trainer(ds, cfg, mesh=mesh)
     print(f"mesh: {dict(trainer.mesh.shape)} | schedule: train "
           f"{trainer.schedule.train_step}/epoch, valid "
           f"{trainer.schedule.valid_step}, test {trainer.schedule.test_step}")
@@ -126,7 +152,14 @@ def main(argv=None):
         p = trainer.cache_plan
         print(f"cache plan: alpha={p.alpha:.2f} feat_rows="
               f"{p.feature_capacity} topo_rows={p.topo_capacity}")
-    state, stats = trainer.fit()
+    state = None
+    if args.resume:
+        from legion_tpu.utils import restore_checkpoint
+        state = restore_checkpoint(args.checkpoint_dir, trainer)
+        print(f"resumed from {args.checkpoint_dir} at train_ctr "
+              f"{int(state['train_ctr'])}")
+    state, stats = trainer.fit(state, checkpoint_dir=args.checkpoint_dir,
+                               checkpoint_every=args.checkpoint_every)
     if args.checkpoint_dir:
         from legion_tpu.utils import save_checkpoint
         save_checkpoint(args.checkpoint_dir, state,

@@ -13,6 +13,8 @@ Reference parity for the dataset pipeline (SURVEY.md §2.7):
                                     storage_management.cu:160-164)
 
 Usage:
+  python -m legion_tpu.tools.prepare ogb       --name ogbn-products \
+      --out DIR [--npy-dir EXPORTED]
   python -m legion_tpu.tools.prepare convert   --edgelist E.txt --out DIR
   python -m legion_tpu.tools.prepare gensets   --out DIR --nodes V \
       --train-frac 0.1 [--valid-frac 0.02] [--test-frac 0.02] [--seed 0]
@@ -65,6 +67,59 @@ def cmd_partition(args):
           f"{cut:.3f}, sizes {np.bincount(part).tolist()})")
 
 
+def cmd_ogb(args):
+    """Convert an OGB node-property dataset (e.g. ogbn-products) to the
+    Legion binary layout (reference consumes the same graph as PR,
+    legion_server.py:41-48). Two sources:
+
+      - the `ogb` package, when installed and the dataset is downloaded
+        (--ogb-root), or
+      - a directory of .npy files (--npy-dir) with:
+            edge_index.npy  int64 [2, E]
+            node_feat.npy   float32 [V, F]
+            labels.npy      int   [V]  (or [V, 1])
+            train_idx.npy / valid_idx.npy / test_idx.npy  int
+        (the arrays `ogb.nodeproppred.NodePropPredDataset` exposes —
+        export them once on a machine with the package/network).
+    """
+    import numpy as np
+    if args.npy_dir:
+        d = args.npy_dir
+        ld = lambda n: np.load(os.path.join(d, n + ".npy"))
+        edge_index = ld("edge_index")
+        feats = ld("node_feat").astype(np.float32)
+        labels = ld("labels").reshape(-1).astype(np.int32)
+        tr, va, te = ld("train_idx"), ld("valid_idx"), ld("test_idx")
+    else:
+        from ogb.nodeproppred import NodePropPredDataset
+        ds = NodePropPredDataset(name=args.name, root=args.ogb_root)
+        graph, y = ds[0]
+        edge_index = graph["edge_index"]
+        feats = graph["node_feat"].astype(np.float32)
+        labels = np.asarray(y).reshape(-1).astype(np.int32)
+        split = ds.get_idx_split()
+        tr, va, te = split["train"], split["valid"], split["test"]
+    V = feats.shape[0]
+    from legion_tpu.data.format import write_legion_dataset
+    from legion_tpu.graph import CSRGraph
+    from legion_tpu import native
+    # symmetrize like the reference's undirected webgraph edge lists
+    src = np.concatenate([edge_index[0], edge_index[1]])
+    dst = np.concatenate([edge_index[1], edge_index[0]])
+    indptr, indices = native.edges_to_csr(src, dst, V)
+    graph = CSRGraph(indptr=np.asarray(indptr, np.int64),
+                     indices=np.asarray(indices, np.int32))
+    write_legion_dataset(args.out, graph, feats, labels,
+                         np.asarray(tr, np.int32), np.asarray(va, np.int32),
+                         np.asarray(te, np.int32))
+    n_cls = int(labels[labels >= 0].max()) + 1
+    print(f"wrote {args.out}: V={V} E={graph.num_edges} F={feats.shape[1]} "
+          f"classes={n_cls} splits={len(tr)}/{len(va)}/{len(te)}")
+    print(f"meta: --dataset-name custom nodes={V} edges={graph.num_edges} "
+          f"feat={feats.shape[1]} train={len(tr)} valid={len(va)} "
+          f"test={len(te)}")
+
+
 def cmd_synthfeat(args):
     rng = np.random.default_rng(args.seed)
     labels = rng.integers(0, args.classes, args.nodes).astype(np.int32)
@@ -99,6 +154,13 @@ def main(argv=None):
     p.add_argument("--parts", type=int, required=True)
     p.add_argument("--passes", type=int, default=2)
 
+    o = sub.add_parser("ogb")
+    o.add_argument("--name", default="ogbn-products")
+    o.add_argument("--out", required=True)
+    o.add_argument("--ogb-root", default="dataset/")
+    o.add_argument("--npy-dir", default="",
+                   help="read exported .npy arrays instead of the ogb pkg")
+
     s = sub.add_parser("synthfeat")
     s.add_argument("--out", required=True)
     s.add_argument("--nodes", type=int, required=True)
@@ -108,7 +170,8 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     {"convert": cmd_convert, "gensets": cmd_gensets,
-     "partition": cmd_partition, "synthfeat": cmd_synthfeat}[args.cmd](args)
+     "partition": cmd_partition, "synthfeat": cmd_synthfeat,
+     "ogb": cmd_ogb}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -123,19 +123,33 @@ class Trainer:
             config.train.epochs, scfg.eval_batch_size)
         sch = self.schedule
 
-        # --- device-resident seed banks ---
-        self.train_bank = jax.device_put(
-            _build_bank([np.asarray(s) for s in train_sets], sch.train_step,
-                        scfg.batch_size, [sch.train_batch_size] * self.n_dev),
-            dpn)
-        self.valid_bank = jax.device_put(
-            _build_bank([np.asarray(s) for s in valid_sets], sch.valid_step,
-                        scfg.eval_batch_size, list(sch.valid_batch_sizes)),
-            dpn)
-        self.test_bank = jax.device_put(
-            _build_bank([np.asarray(s) for s in test_sets], sch.test_step,
-                        scfg.eval_batch_size, list(sch.test_batch_sizes)),
-            dpn)
+        # --- device-resident seed banks + label banks ---
+        # labels ride the banks instead of a replicated [V] table: a seed's
+        # label is fetched ONCE at bank-build time, so device label state
+        # is O(seeds), not O(V) — at clueweb scale the [V] table alone
+        # would be 4GB/replica (SURVEY §7 billion-vertex plan)
+        if hasattr(dataset, "device_arrays"):
+            labels_np = np.asarray(dataset.labels, np.int32)
+        else:
+            labels_np = np.asarray(dataset.labels[:V], np.int32)
+
+        def _banks(sets, steps, static_bs, batch_sizes):
+            bank = _build_bank([np.asarray(s) for s in sets], steps,
+                               static_bs, batch_sizes)
+            ybank = np.where(bank >= 0,
+                             labels_np[np.clip(bank, 0, V - 1)], 0)
+            return jax.device_put(bank, dpn), \
+                jax.device_put(ybank.astype(np.int32), dpn)
+
+        self.train_bank, self.train_ybank = _banks(
+            train_sets, sch.train_step, scfg.batch_size,
+            [sch.train_batch_size] * self.n_dev)
+        self.valid_bank, self.valid_ybank = _banks(
+            valid_sets, sch.valid_step, scfg.eval_batch_size,
+            list(sch.valid_batch_sizes))
+        self.test_bank, self.test_ybank = _banks(
+            test_sets, sch.test_step, scfg.eval_batch_size,
+            list(sch.test_batch_sizes))
 
         # --- samplers (the train sampler may be rebuilt with measured
         # buffer caps by _setup_storage's presampling) ---
@@ -192,8 +206,13 @@ class Trainer:
         self.cache_plan = None
         self.compact_caps = None
         self._use_clique = False
+        self._use_clique_topo = False
         self._staged_host = False
         self.member_rows = jnp.zeros((1, 1, 1), jnp.float32)
+        # clique-topology shards: per-member (row_pairs, indices2d) of the
+        # partitioned hot sub-CSR, bound into the access inside shard_map
+        self.topo_pairs = jnp.zeros((1, 1, 2), jnp.int32)
+        self.topo_blocks = jnp.zeros((1, 1, 1), jnp.int32)
 
         device_ds = hasattr(dataset, "device_arrays")
         feat_host = cache_cfg.enabled and \
@@ -212,12 +231,10 @@ class Trainer:
         if device_ds:
             assert not cache_cfg.enabled, (
                 "host-cached storage needs a host dataset")
-            self.csr, dev_feats, self.labels = dataset.device_arrays()
+            self.csr, dev_feats, _ = dataset.device_arrays()
             base_access = _hbm_access(self.csr)
             degrees = self.csr.degrees()
         else:
-            self.labels = jax.device_put(
-                np.asarray(dataset.labels[:V], np.int32), rep)
             host_indptr = np.asarray(dataset.graph.indptr)
             host_indices = np.asarray(dataset.graph.indices)
             host_feats = np.ascontiguousarray(dataset.features, np.float32)
@@ -238,16 +255,9 @@ class Trainer:
                 degrees = self.csr.degrees()
 
         Kg = self.mesh.shape["member"]
-        use_clique = feat_host and Kg > 1
         want_compact = scfg.auto_compact and scfg.node_caps is None
         na = ea = None
         if cache_cfg.enabled or want_compact:
-            if cache_cfg.enabled and self.n_dev > 1:
-                assert use_clique and not topo_host, (
-                    "multi-device cached storage currently supports "
-                    "host features via the clique-aggregated cache with "
-                    "HBM topology; host topology + multi-device lands "
-                    "later")
             steps = cache_cfg.presample_steps or self.schedule.train_step
             steps = max(1, min(steps, self.schedule.train_step))
             na, ea, mx = presample_hotness(
@@ -257,9 +267,11 @@ class Trainer:
                 mxv = np.asarray(mx)
                 caps = [scfg.batch_size]
                 for k in range(1, len(mxv)):
-                    # 1.2x headroom like InitializeFeaturesBuffer
-                    # (server.cu:277), rounded up to lane multiples
-                    c = max(int(mxv[k] * 1.2) + 8, caps[-1] + 1)
+                    # configurable headroom over the presampled max (the
+                    # reference uses 1.2x, server.cu:277 — see
+                    # SamplerConfig.cap_headroom), rounded to lane multiples
+                    c = max(int(mxv[k] * scfg.cap_headroom) + 8,
+                            caps[-1] + 1)
                     caps.append(-(-c // 128) * 128)
                 scfg = replace(scfg, node_caps=tuple(caps))
                 self.sampler_t = NeighborSampler(scfg, V)
@@ -298,22 +310,11 @@ class Trainer:
                           group_size=Kg)
         self.cache_plan = plan
 
-        if use_clique:
-            # clique-aggregated interleaved feature cache over the member
-            # axis (cache_impl.cuh:104-109); peer reads ride ICI
-            from legion_tpu.cache.collective import (CliqueFeatureCache,
-                                                     build_clique_cache)
-            slot_map, member_rows, R = build_clique_cache(
-                np.asarray(plan.feature_order), plan.feature_capacity,
-                host_feats, Kg)
-            self.member_rows = jax.device_put(
-                member_rows,
-                NamedSharding(self.mesh, P("member", None, None)))
-            self.feature_source = CliqueFeatureCache(
-                jax.device_put(jnp.asarray(slot_map), rep), host_feats,
-                Kg, R)
-            self._use_clique = True
-            self.graph_access = _hbm_access(self.csr)
+        if self.n_dev > 1:
+            self._setup_multidev_cache(plan, feat_host, topo_host,
+                                       host_feats, host_indptr,
+                                       host_indices, Kg, rep, scfg,
+                                       _hbm_access)
             return
         cache = UnifiedCache.build_from_host(
             plan, host_feats if feat_host else None,
@@ -356,6 +357,93 @@ class Trainer:
                 put_row_major(host_feats, rep))
 
     # ------------------------------------------------------------------
+    def _setup_multidev_cache(self, plan, feat_host, topo_host, host_feats,
+                              host_indptr, host_indices, Kg, rep, scfg,
+                              _hbm_access) -> None:
+        """Multi-device cache residency: clique-aggregated feature and
+        topology caches over the "member" axis — the reference's
+        NVLink-clique cache aggregation (cache.cu:375-389; feature
+        interleave cache_impl.cuh:104-109, topology partition
+        cache_impl.cuh:89-101 + graph_storage.cu:76-111). Across the
+        "clique" axis the cache replicates: Kc independent groups.
+        Misses fall back to host storage — pure_callback host draws/
+        gathers (CPU/test runtimes), or the trainer's staged miss
+        pipeline for features on real TPU (CacheConfig.host_transfer)."""
+        from legion_tpu.cache.collective import (
+            CliqueFeatureCache, CliqueTopoCache, HostFallbackAccess,
+            build_clique_cache, build_clique_topo)
+        from legion_tpu.cache.unified_cache import (DeviceFeatureSource,
+                                                    UnifiedCache)
+        from legion_tpu.sampling.access import CachedTopoAccess
+        from legion_tpu.utils.layout import put_row_major
+        mesh = self.mesh
+        V = self.dataset.meta.num_nodes
+
+        # --- topology residency ---
+        if topo_host and Kg > 1 and plan.topo_capacity >= Kg:
+            W = scfg.neighbor_window or 64
+            row_map, mp, mi2, _ = build_clique_topo(
+                np.asarray(plan.topo_order), plan.topo_capacity,
+                host_indptr, host_indices, Kg, window=W)
+            self.topo_pairs = jax.device_put(
+                mp, NamedSharding(mesh, P("member", None, None)))
+            self.topo_blocks = jax.device_put(
+                mi2, NamedSharding(mesh, P("member", None, None)))
+            self.graph_access = CliqueTopoCache(
+                jax.device_put(jnp.asarray(row_map), rep), None, None,
+                HostFallbackAccess(host_indptr, host_indices), Kg)
+            self._use_clique_topo = True
+        elif topo_host:
+            # Kg == 1: each clique member caches its own hot sub-CSR
+            # (replicated across cliques), host-callback fallback
+            cache_t = UnifiedCache.build_from_host(
+                plan, None, host_indptr, host_indices, V)
+            self.graph_access = CachedTopoAccess(
+                cache_t.row_map if cache_t.row_map is not None
+                else jnp.full((V,), -1, jnp.int32),
+                cache_t.sub_indptr if cache_t.sub_indptr is not None
+                else jnp.zeros((2,), jnp.int64),
+                cache_t.sub_indices if cache_t.sub_indices is not None
+                else jnp.full((1,), -1, jnp.int32),
+                host_indptr, host_indices)
+        else:
+            self.graph_access = _hbm_access(self.csr)
+
+        # --- feature residency ---
+        if feat_host:
+            # clique-aggregated interleaved feature cache over the member
+            # axis (degenerates to a per-device cache at Kg == 1)
+            slot_map, member_rows, R = build_clique_cache(
+                np.asarray(plan.feature_order), plan.feature_capacity,
+                host_feats, Kg)
+            self.member_rows = jax.device_put(
+                member_rows,
+                NamedSharding(mesh, P("member", None, None)))
+            self.feature_source = CliqueFeatureCache(
+                jax.device_put(jnp.asarray(slot_map), rep), host_feats,
+                Kg, R)
+            self._use_clique = True
+            transfer = self.config.cache.host_transfer
+            if transfer == "auto":
+                transfer = "staged" if jax.default_backend() == "tpu" \
+                    else "callback"
+            if transfer == "staged":
+                # miss rows cross host->device between program A and B;
+                # the clique collective serves hits INSIDE program A (no
+                # callbacks anywhere) — the multi-chip Legion scenario
+                assert not topo_host, (
+                    "staged transfer with multi-device HOST topology "
+                    "needs per-hop program splits (not yet wired); use "
+                    "host_transfer='callback' or topo_residency='hbm'")
+                self._staged_host = True
+                self._cache = None
+                self._host_feats = np.ascontiguousarray(
+                    host_feats, np.float32)
+        else:
+            self.feature_source = DeviceFeatureSource(
+                put_row_major(host_feats, rep))
+
+    # ------------------------------------------------------------------
     def init_state(self, key: Optional[jax.Array] = None) -> Dict:
         if key is None:
             key = jax.random.PRNGKey(self.config.train.seed)
@@ -369,11 +457,26 @@ class Trainer:
         z = lambda: jax.device_put(np.int32(0), rep)
         mdt = np.float32 if getattr(self, "is_lp", False) else np.int32
         zm = lambda: jax.device_put(mdt(0), rep)
-        return {"params": params, "opt_state": opt_state,
-                "pos_map": pos_map, "train_ctr": z(), "valid_ctr": z(),
-                "test_ctr": z(), "correct": zm(), "total": zm(),
-                "base_key": jax.device_put(
-                    jax.random.PRNGKey(self.config.train.seed + 1), rep)}
+        state = {"params": params, "opt_state": opt_state,
+                 "pos_map": pos_map, "train_ctr": z(), "valid_ctr": z(),
+                 "test_ctr": z(), "correct": zm(), "total": zm(),
+                 "base_key": jax.device_put(
+                     jax.random.PRNGKey(self.config.train.seed + 1), rep)}
+        return self.prime_carry(state)
+
+    def prime_carry(self, state: Dict) -> Dict:
+        """(Re)fill the inter-batch pipeline carry: sample + gather the
+        batch at state's train_ctr (TrainConfig.interbatch). The carry is
+        scratch — init_state and checkpoint restore call this; it is not
+        saved."""
+        if self._staged_host or not self.config.train.interbatch:
+            return state
+        pos_map, batch, x, hits = self._prime(
+            state["pos_map"], state["train_ctr"], state["base_key"],
+            self.train_bank, self.graph_access, self.feature_source,
+            self.member_rows, self.topo_pairs, self.topo_blocks)
+        return dict(state, pos_map=pos_map, carry_batch=batch, carry_x=x,
+                    carry_hits=hits)
 
     # ------------------------------------------------------------------
     def _device_key(self, base_key: jax.Array, ctr: jax.Array,
@@ -385,16 +488,37 @@ class Trainer:
         k = jax.random.fold_in(k, tag)
         return jax.random.fold_in(k, dev)
 
+    def _topo_hit_count(self, batch, access, sampler=None
+                        ) -> Tuple[jax.Array, jax.Array]:
+        """(hits, total) over the EXPANDED frontier prefix of the ids
+        buffer — every vertex whose adjacency was read this batch (seeds +
+        hops 0..L-2 occupy ids[:cum_caps[L-1]]). Counts vertices resident
+        in the topology cache; request-overflow lanes are counted as hits
+        here (rare), so this is a (tight) upper bound."""
+        sampler = sampler or self.sampler_t
+        L = sampler.config.num_hops
+        row_map = getattr(access, "row_map", None)
+        prefix = jax.lax.slice(batch.node_ids, (0,),
+                               (sampler.cum_caps[L - 1],))
+        pvalid = prefix >= 0
+        total = jnp.sum(pvalid, dtype=jnp.int32)
+        if row_map is None:
+            return total, total    # all HBM-resident
+        rm = jnp.where(
+            pvalid, row_map[jnp.clip(prefix, 0, row_map.shape[0] - 1)], -1)
+        return jnp.sum(rm >= 0, dtype=jnp.int32), total
+
     def _build_train_step(self):
         sampler, model, tx = self.sampler_t, self.model_t, self.tx
         bs = self.config.sampler.batch_size
         n_steps = self.schedule.train_step
 
         use_clique = self._use_clique
+        use_clique_topo = self._use_clique_topo
 
-        def step(params, opt_state, pos_map, ctr, base_key, bank, access,
-                 fsource, member_rows, labels):
-            pos_map, bank = pos_map[0], bank[0]
+        def _sample_fetch(access, bank, pos_map, ctr, base_key, fsource,
+                          member_rows):
+            """Sample batch `ctr` + gather its features (DMA stream)."""
             lid = ctr % n_steps
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, 0)
@@ -406,9 +530,16 @@ class Trainer:
                 x, feat_hits = fsource.fetch(nid, member_rows[0])
             else:
                 x, feat_hits = fsource.fetch(nid)
-            y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
-            valid = seeds >= 0
+            return batch, x, jax.lax.psum(feat_hits, self.axes), pos_map
 
+        def _train_on(params, opt_state, batch, x, ctr, base_key, bank,
+                      ybank):
+            """fwd/bwd/update on batch `ctr` (compute stream)."""
+            lid = ctr % n_steps
+            seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
+            k = self._device_key(base_key, ctr, 0)
+            y = jax.lax.dynamic_slice(ybank, (lid * bs,), (bs,))
+            valid = seeds >= 0
             if self.is_lp:
                 def loss_fn(p):
                     return model.loss(p, x, batch, valid, train=True,
@@ -418,27 +549,109 @@ class Trainer:
                     logits = model.apply(p, x, batch, train=True,
                                          rng=jax.random.fold_in(k, 7))
                     return _masked_ce(logits, y, valid)
-
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = jax.lax.pmean(grads, self.axes)
             loss = jax.lax.pmean(loss, self.axes)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def _counters(batch, access):
             # per-step counters for StepMetrics (the live PCM analog,
-            # monitor.cuh:83-135 role): trained edges, fetched id slots
+            # monitor.cuh:83-135 role): trained edges, fetched id slots,
+            # adjacency reads served by the topology cache
+            nid = jax.lax.slice(batch.node_ids, (0,), (sampler.max_ids,))
             edges = jnp.sum(batch.num_edges, dtype=jnp.int32)
             slots = jnp.sum(nid >= 0, dtype=jnp.int32)
-            return params, opt_state, pos_map[None], ctr + 1, loss, \
-                jax.lax.psum(feat_hits, self.axes), \
-                jax.lax.psum(edges, self.axes), \
-                jax.lax.psum(slots, self.axes)
+            th, tt = self._topo_hit_count(batch, access)
+            return (jax.lax.psum(edges, self.axes),
+                    jax.lax.psum(slots, self.axes),
+                    jax.lax.psum(th, self.axes),
+                    jax.lax.psum(tt, self.axes))
 
         mr_spec = P("member", None, None) if use_clique else P()
+        tp_spec = P("member", None, None) if use_clique_topo else P()
+        DP = self._DP
+
+        if self.config.train.interbatch:
+            # pipelined: train on the CARRIED batch `ctr` while sampling +
+            # gathering batch ctr+1 — independent streams XLA overlaps
+            # (TrainConfig.interbatch; exact same math and RNG sequence)
+            def step(params, opt_state, pos_map, ctr, base_key, bank,
+                     access, fsource, member_rows, topo_pairs, topo_blocks,
+                     ybank, c_batch, c_x, c_hits):
+                pos_map, bank = pos_map[0], bank[0]
+                if use_clique_topo:
+                    access = access.bind_shard(topo_pairs[0],
+                                               topo_blocks[0])
+                c_batch = jax.tree.map(lambda a: a[0], c_batch)
+                c_x = c_x[0]
+                params, opt_state, loss = _train_on(
+                    params, opt_state, c_batch, c_x, ctr, base_key, bank,
+                    ybank[0])
+                batch2, x2, hits2, pos_map = _sample_fetch(
+                    access, bank, pos_map, ctr + 1, base_key, fsource,
+                    member_rows)
+                edges, slots, th, tt = _counters(c_batch, access)
+                return (params, opt_state, pos_map[None], ctr + 1, loss,
+                        c_hits, edges, slots, th, tt,
+                        jax.tree.map(lambda a: a[None], batch2), x2[None],
+                        hits2)
+
+            sm = _shard_map(
+                step, self.mesh,
+                in_specs=(P(), P(), DP, P(), P(), self._DPN, P(), P(),
+                          mr_spec, tp_spec, tp_spec, self._DPN, DP, DP,
+                          P()),
+                out_specs=(P(), P(), DP, P(), P(), P(), P(), P(), P(),
+                           P(), DP, DP, P()))
+            # NOTE: the carry args (12, 13) are deliberately NOT donated —
+            # aliasing batch N+1's gather output onto the buffer batch N's
+            # train half still reads creates a false RAW hazard that
+            # serializes the two streams
+            jitted = jax.jit(sm, donate_argnums=(0, 1, 2, 3))
+
+            # the prime program fills the first carry (batch `ctr`)
+            def prime(pos_map, ctr, base_key, bank, access, fsource,
+                      member_rows, topo_pairs, topo_blocks):
+                pos_map, bank = pos_map[0], bank[0]
+                if use_clique_topo:
+                    access = access.bind_shard(topo_pairs[0],
+                                               topo_blocks[0])
+                batch, x, hits, pos_map = _sample_fetch(
+                    access, bank, pos_map, ctr, base_key, fsource,
+                    member_rows)
+                return (pos_map[None],
+                        jax.tree.map(lambda a: a[None], batch), x[None],
+                        hits)
+
+            psm = _shard_map(
+                prime, self.mesh,
+                in_specs=(DP, P(), P(), self._DPN, P(), P(), mr_spec,
+                          tp_spec, tp_spec),
+                out_specs=(DP, DP, DP, P()))
+            self._prime = jax.jit(psm, donate_argnums=(0,))
+            return jitted
+
+        def step(params, opt_state, pos_map, ctr, base_key, bank, access,
+                 fsource, member_rows, topo_pairs, topo_blocks, ybank):
+            pos_map, bank = pos_map[0], bank[0]
+            if use_clique_topo:
+                access = access.bind_shard(topo_pairs[0], topo_blocks[0])
+            batch, x, feat_hits, pos_map = _sample_fetch(
+                access, bank, pos_map, ctr, base_key, fsource, member_rows)
+            params, opt_state, loss = _train_on(
+                params, opt_state, batch, x, ctr, base_key, bank, ybank[0])
+            edges, slots, th, tt = _counters(batch, access)
+            return params, opt_state, pos_map[None], ctr + 1, loss, \
+                feat_hits, edges, slots, th, tt
+
         sm = _shard_map(
             step, self.mesh,
-            in_specs=(P(), P(), self._DP, P(), P(), self._DPN, P(), P(),
-                      mr_spec, P()),
-            out_specs=(P(), P(), self._DP, P(), P(), P(), P(), P()))
+            in_specs=(P(), P(), DP, P(), P(), self._DPN, P(), P(),
+                      mr_spec, tp_spec, tp_spec, self._DPN),
+            out_specs=(P(), P(), DP, P(), P(), P(), P(), P(), P(),
+                       P()))
         return jax.jit(sm, donate_argnums=(0, 1, 2, 3))
 
     def _build_eval_step(self, n_steps: int, ctr_name: str):
@@ -446,10 +659,14 @@ class Trainer:
         bs = self.config.sampler.eval_batch_size
 
         use_clique = self._use_clique
+        use_clique_topo = self._use_clique_topo
 
         def step(params, pos_map, ctr, correct, total, base_key, bank,
-                 access, fsource, member_rows, labels):
-            pos_map, bank = pos_map[0], bank[0]
+                 access, fsource, member_rows, topo_pairs, topo_blocks,
+                 ybank):
+            pos_map, bank, ybank = pos_map[0], bank[0], ybank[0]
+            if use_clique_topo:
+                access = access.bind_shard(topo_pairs[0], topo_blocks[0])
             lid = ctr % n_steps
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, 1)
@@ -459,7 +676,7 @@ class Trainer:
                 x, _ = fsource.fetch(nid, member_rows[0])
             else:
                 x, _ = fsource.fetch(nid)
-            y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
+            y = jax.lax.dynamic_slice(ybank, (lid * bs,), (bs,))
             valid = seeds >= 0
             if self.is_lp:
                 # validation metric is mean link-prediction loss, like the
@@ -480,19 +697,20 @@ class Trainer:
             return pos_map[None], ctr + 1, correct + c, total + t
 
         mr_spec = P("member", None, None) if use_clique else P()
+        tp_spec = P("member", None, None) if use_clique_topo else P()
         sm = _shard_map(
             step, self.mesh,
             in_specs=(P(), self._DP, P(), P(), P(), P(), self._DPN, P(), P(),
-                      mr_spec, P()),
+                      mr_spec, tp_spec, tp_spec, self._DPN),
             out_specs=(self._DP, P(), P(), P()))
         jitted = jax.jit(sm, donate_argnums=(1, 2, 3, 4))
 
-        def run(state: Dict, bank) -> Dict:
+        def run(state: Dict, bank, ybank) -> Dict:
             pos_map, ctr, correct, total = jitted(
                 state["params"], state["pos_map"], state[ctr_name],
                 state["correct"], state["total"], state["base_key"], bank,
                 self.graph_access, self.feature_source, self.member_rows,
-                self.labels)
+                self.topo_pairs, self.topo_blocks, ybank)
             return dict(state, pos_map=pos_map, correct=correct,
                         total=total, **{ctr_name: ctr})
 
@@ -518,6 +736,21 @@ class Trainer:
     def _build_staged_steps(self) -> None:
         from concurrent.futures import ThreadPoolExecutor
         sch = self.schedule
+        # cache lookup mode inside program A: direct slot table (single
+        # device, UnifiedCache) or the clique collective (multi-device)
+        self._staged_clique = self._use_clique
+        self._staged_lookup = self.feature_source if self._use_clique \
+            else self._cache.slot_map
+        map_impl = self.config.cache.resolve_map_impl(
+            self.dataset.meta.num_nodes)
+        if not self._use_clique and map_impl == "hash":
+            # billion-vertex fallback: O(cached) hash instead of the O(V)
+            # direct table (the BGHT role, cache.cu:71-88)
+            from legion_tpu.cache.hashmap import HashMap32
+            cap = self.cache_plan.feature_capacity
+            qf = np.asarray(self.cache_plan.feature_order[:cap], np.int64)
+            self._staged_lookup = HashMap32.build(
+                qf, np.arange(cap, dtype=np.int32))
         bs_t = self.config.sampler.batch_size
         self._sample_train = self._make_staged_sample(
             self.sampler_t, sch.train_step, bs_t, tag=0)
@@ -531,10 +764,16 @@ class Trainer:
         # because every sample fully clears its marks (ClearPosMap), so all
         # post-sample maps are content-equivalent
         self._staged_pm = jax.device_put(
-            np.full((1, self.sampler_t.state_size),
-                    np.iinfo(np.int32).max, np.int32))
+            np.full((self.n_dev, self.sampler_t.state_size),
+                    np.iinfo(np.int32).max, np.int32),
+            NamedSharding(self.mesh, self._DP))
         self._miss_cap = self._probe_miss_cap()
         self._eval_miss_cap = self._probe_eval_miss_cap()
+        # overflow observability (round-2 advisor): a batch whose misses
+        # exceed the probed cap gets zero rows for the dropped tail; count
+        # and warn so silent accuracy degradation is visible
+        self._miss_overflows = 0
+        self._eval_miss_overflows = 0
         self._train_core = self._make_train_core(self._miss_cap)
         # one-step sample lookahead (the reference's INTERBATCH_CON=2
         # producer/consumer pipeline, system_config.cuh:47): device runs
@@ -548,26 +787,42 @@ class Trainer:
             Mode.TEST: self._make_staged_eval(Mode.TEST, "test_ctr"),
         }
 
-    def _staged_key(self, base_key, ctr, tag: int):
-        k = jax.random.fold_in(base_key, ctr)
-        k = jax.random.fold_in(k, tag)
-        return jax.random.fold_in(k, 0)  # single device => dev index 0
-
     def _make_staged_sample(self, sampler, n_steps: int, bs: int, tag: int):
+        """Program A, shard_map'd over the mesh: sample + cache lookup +
+        miss compaction on every device. The cache lookup is the direct
+        slot-table gather (single device / UnifiedCache) or the clique
+        collective (CliqueFeatureCache.fetch_cached — requests ride ICI,
+        NO callbacks). Per-device miss ids come back to the host for the
+        staged gather."""
         M = sampler.max_ids
         imax = jnp.iinfo(jnp.int32).max
+        clique = self._staged_clique
+        use_clique_topo = self._use_clique_topo
 
-        def sample(pos_map, ctr, base_key, bank, access, slot_map):
+        def sample(pos_map, ctr, base_key, bank, access, lookup,
+                   member_rows, topo_pairs, topo_blocks):
             pos_map, bank = pos_map[0], bank[0]
+            if use_clique_topo:
+                access_b = access.bind_shard(topo_pairs[0], topo_blocks[0])
+            else:
+                access_b = access
             lid = ctr % n_steps
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
-            k = self._staged_key(base_key, ctr, tag)
-            batch, pos_map = sampler.sample_fn(access, seeds, pos_map, k)
+            k = self._device_key(base_key, ctr, tag)
+            batch, pos_map = sampler.sample_fn(access_b, seeds, pos_map, k)
             nid = jax.lax.slice(batch.node_ids, (0,), (M,))
-            slot = jnp.where(
-                nid >= 0,
-                slot_map[jnp.clip(nid, 0, slot_map.shape[0] - 1)], -1)
-            miss = (nid >= 0) & (slot < 0)
+            if clique:
+                rows, hit = lookup.fetch_cached(nid, member_rows[0])
+                payload = rows
+                miss = (nid >= 0) & ~hit
+                hits = jnp.sum(hit, dtype=jnp.int32)
+            else:
+                slot = jnp.where(
+                    nid >= 0,
+                    lookup[jnp.clip(nid, 0, lookup.shape[0] - 1)], -1)
+                payload = slot
+                miss = (nid >= 0) & (slot < 0)
+                hits = jnp.sum(slot >= 0, dtype=jnp.int32)
             lane = jnp.arange(M, dtype=jnp.int32)
             mkey = jnp.where(miss, lane, imax)
             sk, m_ids, m_pos = jax.lax.sort((mkey, nid, lane), dimension=0,
@@ -576,12 +831,26 @@ class Trainer:
             m_ids = jnp.where(mvalid, m_ids, -1)
             m_pos = jnp.where(mvalid, m_pos, -1)
             n_miss = jnp.sum(miss, dtype=jnp.int32)
-            hits = jnp.sum(slot >= 0, dtype=jnp.int32)
             edges = jnp.sum(batch.num_edges, dtype=jnp.int32)
-            return (batch, pos_map[None], seeds, slot, m_ids, m_pos,
-                    n_miss, hits, edges)
+            topo_hits, topo_total = self._topo_hit_count(batch, access_b,
+                                                         sampler)
+            batch = jax.tree.map(lambda a: a[None], batch)
+            return (batch, pos_map[None], seeds[None], payload[None],
+                    m_ids[None], m_pos[None], n_miss[None],
+                    jax.lax.psum(hits, self.axes),
+                    jax.lax.psum(edges, self.axes),
+                    jax.lax.psum(topo_hits, self.axes),
+                    jax.lax.psum(topo_total, self.axes))
 
-        return jax.jit(sample, donate_argnums=(0,))
+        mr_spec = P("member", None, None) if clique else P()
+        tp_spec = P("member", None, None) if use_clique_topo else P()
+        DP = self._DP
+        sm = _shard_map(
+            sample, self.mesh,
+            in_specs=(DP, P(), P(), self._DPN, P(), P(), mr_spec, tp_spec,
+                      tp_spec),
+            out_specs=(DP, DP, DP, DP, DP, DP, DP, P(), P(), P(), P()))
+        return jax.jit(sm, donate_argnums=(0,))
 
     def _probe_miss_cap(self) -> int:
         """Measure worst-case cache misses over (up to) a full epoch of
@@ -596,46 +865,73 @@ class Trainer:
         for i in range(probes):
             out = self._sample_train(self._staged_pm, jnp.int32(i), key,
                                      self.train_bank, self.graph_access,
-                                     self._cache.slot_map)
+                                     self._staged_lookup, self.member_rows,
+                                     self.topo_pairs, self.topo_blocks)
             self._staged_pm = out[1]
             counts.append(out[6])
         for c in counts:
-            worst = max(worst, int(c))
+            worst = max(worst, int(np.asarray(c).max()))
         cap = int(worst * 1.2) + 256
         return min(M, -(-cap // 512) * 512)
 
     def _probe_eval_miss_cap(self) -> int:
         """Same sizing rule for the eval sampler's miss buffer (round-1
-        advisor: eval gathered the full max_ids-wide buffer per step)."""
+        advisor: eval gathered the full max_ids-wide buffer per step).
+        Probes BOTH the valid and test banks (round-2 advisor: the cap is
+        applied to test eval too) and takes the max."""
         M = self.sampler_e.max_ids
         worst = 0
         key = jax.random.PRNGKey(self.config.train.seed + 1)
-        pm = jax.device_put(
-            np.full((1, self.sampler_e.state_size),
-                    np.iinfo(np.int32).max, np.int32))
-        for i in range(min(max(self.schedule.valid_step, 1), 8)):
-            out = self._sample_eval(pm, jnp.int32(i), key,
-                                    self.valid_bank, self.graph_access,
-                                    self._cache.slot_map)
-            pm = out[1]
-            worst = max(worst, int(out[6]))
+        for bank, n_steps, fn in (
+                (self.valid_bank, self.schedule.valid_step,
+                 self._sample_eval),
+                (self.test_bank, self.schedule.test_step,
+                 self._sample_eval_test)):
+            pm = jax.device_put(
+                np.full((self.n_dev, self.sampler_e.state_size),
+                        np.iinfo(np.int32).max, np.int32),
+                NamedSharding(self.mesh, self._DP))
+            for i in range(min(max(n_steps, 1), 8)):
+                out = fn(pm, jnp.int32(i), key, bank, self.graph_access,
+                         self._staged_lookup, self.member_rows,
+                         self.topo_pairs, self.topo_blocks)
+                pm = out[1]
+                worst = max(worst, int(np.asarray(out[6]).max()))
         cap = int(worst * 1.5) + 256
         return min(M, -(-cap // 512) * 512)
 
-    def _make_train_core(self, cap: int):
-        sampler, model, tx = self.sampler_t, self.model_t, self.tx
-        M = sampler.max_ids
-        cache_rows = self._cache.cache_rows
-
-        def core(params, opt_state, ctr, base_key, batch, seeds, slot,
-                 m_pos, x_miss, labels):
+    def _staged_assemble(self, payload, m_pos, x_miss, cap: int, M: int):
+        """Assemble the feature matrix: cache-served rows + miss rows
+        scattered into their compacted positions."""
+        if self._staged_clique:
+            x = payload                       # rows straight from program A
+        else:
+            cache_rows = self._cache.cache_rows
+            slot = payload
             x = jnp.where(
                 (slot >= 0)[:, None],
                 cache_rows[jnp.clip(slot, 0, cache_rows.shape[0] - 1)], 0)
-            mp = jax.lax.slice(m_pos, (0,), (cap,))
-            x = x.at[jnp.where(mp >= 0, mp, M)].set(x_miss, mode="drop")
-            k = self._staged_key(base_key, ctr, 0)
-            y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
+        mp = jax.lax.slice(m_pos, (0,), (cap,))
+        return x.at[jnp.where(mp >= 0, mp, M)].set(
+            x_miss.astype(x.dtype), mode="drop")
+
+    def _make_train_core(self, cap: int):
+        """Program B, shard_map'd over the mesh: assemble features +
+        fwd/bwd + pmean grads + update."""
+        sampler, model, tx = self.sampler_t, self.model_t, self.tx
+        M = sampler.max_ids
+        bs = self.config.sampler.batch_size
+        n_steps = self.schedule.train_step
+
+        def core(params, opt_state, ctr, base_key, batch, seeds, payload,
+                 m_pos, x_miss, ybank):
+            batch = jax.tree.map(lambda a: a[0], batch)
+            seeds, payload = seeds[0], payload[0]
+            m_pos, x_miss = m_pos[0], x_miss[0]
+            x = self._staged_assemble(payload, m_pos, x_miss, cap, M)
+            k = self._device_key(base_key, ctr, 0)
+            lid = ctr % n_steps
+            y = jax.lax.dynamic_slice(ybank[0], (lid * bs,), (bs,))
             valid = seeds >= 0
 
             if self.is_lp:
@@ -649,77 +945,142 @@ class Trainer:
                     return _masked_ce(logits, y, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, self.axes)
+            loss = jax.lax.pmean(loss, self.axes)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, ctr + 1, loss
 
-        return jax.jit(core, donate_argnums=(0, 1))
+        DP = self._DP
+        sm = _shard_map(
+            core, self.mesh,
+            in_specs=(P(), P(), P(), P(), DP, DP, DP, DP, DP, self._DPN),
+            out_specs=(P(), P(), P(), P()))
+        return jax.jit(sm, donate_argnums=(0, 1))
 
     def _make_staged_eval(self, mode: Mode, ctr_name: str):
-        from legion_tpu import native
         sampler, model = self.sampler_e, self.model_e
         bs = self.config.sampler.eval_batch_size
         M = sampler.max_ids
         cap = self._eval_miss_cap
-        cache_rows = self._cache.cache_rows
         sample = self._sample_eval if mode == Mode.VALID \
             else self._sample_eval_test
 
-        def core(params, correct, total, batch, seeds, slot, m_pos,
-                 x_miss, labels):
-            x = jnp.where(
-                (slot >= 0)[:, None],
-                cache_rows[jnp.clip(slot, 0, cache_rows.shape[0] - 1)], 0)
-            mp = jax.lax.slice(m_pos, (0,), (cap,))
-            x = x.at[jnp.where(mp >= 0, mp, M)].set(x_miss, mode="drop")
-            y = labels[jnp.clip(seeds, 0, labels.shape[0] - 1)]
+        n_steps = max(self.schedule.valid_step, 1) if mode == Mode.VALID \
+            else max(self.schedule.test_step, 1)
+
+        def core(params, correct, total, ctr, batch, seeds, payload, m_pos,
+                 x_miss, ybank):
+            batch = jax.tree.map(lambda a: a[0], batch)
+            seeds, payload = seeds[0], payload[0]
+            m_pos, x_miss = m_pos[0], x_miss[0]
+            x = self._staged_assemble(payload, m_pos, x_miss, cap, M)
+            lid = ctr % n_steps
+            y = jax.lax.dynamic_slice(ybank[0], (lid * bs,), (bs,))
             valid = seeds >= 0
             if self.is_lp:
                 loss = model.loss(params, x, batch, valid, train=False)
                 t = jnp.sum(valid[: bs // 3], dtype=jnp.int32)
-                return correct + loss * t.astype(jnp.float32), \
-                    total + t.astype(jnp.float32)
+                c = jax.lax.psum(loss * t.astype(jnp.float32), self.axes)
+                t = jax.lax.psum(t, self.axes).astype(jnp.float32)
+                return correct + c, total + t
             logits = model.apply(params, x, batch, train=False)
             pred = jnp.argmax(logits, axis=-1)
             c = jnp.sum((pred == y) & valid, dtype=jnp.int32)
-            return correct + c, total + jnp.sum(valid, dtype=jnp.int32)
+            t = jnp.sum(valid, dtype=jnp.int32)
+            return correct + jax.lax.psum(c, self.axes), \
+                total + jax.lax.psum(t, self.axes)
 
-        core_j = jax.jit(core, donate_argnums=(1, 2))
+        DP = self._DP
+        core_sm = _shard_map(
+            core, self.mesh,
+            in_specs=(P(), P(), P(), P(), DP, DP, DP, DP, DP, self._DPN),
+            out_specs=(P(), P()))
+        core_j = jax.jit(core_sm, donate_argnums=(1, 2))
 
-        def run(state: Dict, bank) -> Dict:
-            (batch, pos_map, seeds, slot, m_ids, m_pos, n_miss,
-             hits, edges) = sample(state["pos_map"], state[ctr_name],
-                                   state["base_key"], bank,
-                                   self.graph_access, self._cache.slot_map)
-            rows = native.gather_rows(self._host_feats,
-                                      np.asarray(m_ids)[:cap])
-            x_miss = jax.device_put(rows)
+        def run(state: Dict, bank, ybank) -> Dict:
+            (batch, pos_map, seeds, payload, m_ids, m_pos, n_miss,
+             hits, edges, _, _) = sample(
+                state["pos_map"], state[ctr_name], state["base_key"], bank,
+                self.graph_access, self._staged_lookup, self.member_rows,
+                self.topo_pairs, self.topo_blocks)
+            worst = int(np.asarray(n_miss).max())
+            if worst > cap:
+                self._eval_miss_overflows += 1
+                if self._eval_miss_overflows == 1:
+                    import warnings
+                    warnings.warn(
+                        f"eval miss buffer overflow: {worst} > cap "
+                        f"{cap}; dropped misses get zero features "
+                        "(counted in eval_miss_overflows)", stacklevel=2)
+            x_miss = self._gather_miss_rows(m_ids, cap)
             correct, total = core_j(state["params"], state["correct"],
-                                    state["total"], batch, seeds, slot,
-                                    m_pos, x_miss, self.labels)
+                                    state["total"], state[ctr_name], batch,
+                                    seeds, payload, m_pos, x_miss, ybank)
             return dict(state, pos_map=pos_map, correct=correct,
                         total=total, **{ctr_name: state[ctr_name] + 1})
 
         return run
 
-    def _gather_train_miss(self, m_ids) -> jax.Array:
-        """Worker-thread half of the pipeline: block on the sample program's
-        miss ids, gather their rows from host features (parallel C++), ship
-        to HBM. The reference does this inside its kernels over UVA
-        (cache_impl.cuh:239-272); staged it overlaps with device compute."""
+    def _gather_miss_rows(self, m_ids, cap: int) -> jax.Array:
+        """Host half of the staged miss path: gather each device's
+        compacted miss rows from host features (parallel C++) and ship
+        them back sharded [n_dev, cap, F]. The reference streams these
+        rows over zero-copy UVA inside its kernels
+        (cache_impl.cuh:239-272)."""
         from legion_tpu import native
-        ids_np = np.asarray(m_ids)[: self._miss_cap]
-        rows = native.gather_rows(self._host_feats, ids_np)
-        return jax.device_put(rows)
+        ids_np = np.asarray(m_ids)[:, :cap]          # [n_dev, cap]
+        rows = native.gather_rows(self._host_feats, ids_np.reshape(-1))
+        rows = rows.reshape(self.n_dev, cap, -1)
+        return jax.device_put(
+            rows, NamedSharding(self.mesh, P(self.axes, None, None)))
+
+    def _gather_train_miss(self, m_ids, n_miss) -> jax.Array:
+        """Worker-thread half of the pipeline: block on the sample program's
+        miss ids, gather their rows, ship to HBM (overlaps with device
+        compute — the INTERBATCH_CON=2 pipeline)."""
+        # overflow check rides the sync we already pay for the ids
+        # (round-2 advisor: dropped tail misses were silent)
+        worst = int(np.asarray(n_miss).max())
+        if worst > self._miss_cap:
+            self._miss_overflows += 1
+            if self._miss_overflows == 1:
+                import warnings
+                warnings.warn(
+                    f"staged miss buffer overflow: {worst} misses > "
+                    f"cap {self._miss_cap}; overflowing rows feed zero "
+                    "features this step (counted in miss_overflows)",
+                    stacklevel=2)
+        return self._gather_miss_rows(m_ids, self._miss_cap)
 
     def _dispatch_staged_sample(self, pm, ctr: int, base_key):
         out = self._sample_train(pm, jnp.int32(ctr), base_key,
                                  self.train_bank, self.graph_access,
-                                 self._cache.slot_map)
+                                 self._staged_lookup, self.member_rows,
+                                 self.topo_pairs, self.topo_blocks)
         # pm was donated into the sample; the chain head is its output
         self._staged_pm = out[1]
-        fut = self._gather_pool.submit(self._gather_train_miss, out[4])
+        fut = self._gather_pool.submit(self._gather_train_miss, out[4],
+                                       out[6])
         return ctr, out, fut
+
+    def close(self) -> None:
+        """Tear down the staged pipeline (cancel the pending prefetch and
+        stop the gather worker). Safe to call multiple times."""
+        if getattr(self, "_staged_host", False):
+            pf = getattr(self, "_prefetch", None)
+            if pf is not None:
+                pf[2].cancel()
+                self._prefetch = None
+            pool = getattr(self, "_gather_pool", None)
+            if pool is not None:
+                pool.shutdown(wait=False)
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _staged_train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
         if state["train_ctr"] is not self._last_ctr_obj:
@@ -735,7 +1096,8 @@ class Trainer:
             self._prefetch = self._dispatch_staged_sample(
                 self._staged_pm, ctr_host, state["base_key"])
         _, out, fut = self._prefetch
-        (batch, pm, seeds, slot, m_ids, m_pos, n_miss, hits, edges) = out
+        (batch, pm, seeds, slot, m_ids, m_pos, n_miss, hits, edges,
+         topo_hits, topo_total) = out
         # dispatch step N+1's sample before blocking on step N's gather:
         # the device executes A_{N+1} while the host feeds B_N
         self._prefetch = self._dispatch_staged_sample(
@@ -744,12 +1106,14 @@ class Trainer:
         params, opt_state, ctr, loss = self._train_core(
             state["params"], state["opt_state"], state["train_ctr"],
             state["base_key"], batch, seeds, slot, m_pos, x_miss,
-            self.labels)
+            self.train_ybank)
         self._staged_ctr = ctr_host + 1
         self._last_ctr_obj = ctr
         self.last_feat_hits = hits
         self.last_edges = edges
-        self.last_slots = hits + n_miss
+        self.last_slots = hits + jnp.sum(n_miss)
+        self.last_topo_hits = topo_hits
+        self.last_topo_total = topo_total
         return dict(state, params=params, opt_state=opt_state,
                     train_ctr=ctr), loss
 
@@ -757,17 +1121,33 @@ class Trainer:
     def train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
         if self._staged_host:
             return self._staged_train_step(state)
-        (params, opt_state, pos_map, ctr, loss, feat_hits, edges,
-         slots) = self._train_step(
-            state["params"], state["opt_state"], state["pos_map"],
-            state["train_ctr"], state["base_key"], self.train_bank,
-            self.graph_access, self.feature_source, self.member_rows,
-            self.labels)
+        if self.config.train.interbatch:
+            (params, opt_state, pos_map, ctr, loss, feat_hits, edges,
+             slots, topo_hits, topo_total, c_batch, c_x,
+             c_hits) = self._train_step(
+                state["params"], state["opt_state"], state["pos_map"],
+                state["train_ctr"], state["base_key"], self.train_bank,
+                self.graph_access, self.feature_source, self.member_rows,
+                self.topo_pairs, self.topo_blocks, self.train_ybank,
+                state["carry_batch"], state["carry_x"],
+                state["carry_hits"])
+            extra = dict(carry_batch=c_batch, carry_x=c_x,
+                         carry_hits=c_hits)
+        else:
+            (params, opt_state, pos_map, ctr, loss, feat_hits, edges,
+             slots, topo_hits, topo_total) = self._train_step(
+                state["params"], state["opt_state"], state["pos_map"],
+                state["train_ctr"], state["base_key"], self.train_bank,
+                self.graph_access, self.feature_source, self.member_rows,
+                self.topo_pairs, self.topo_blocks, self.train_ybank)
+            extra = {}
         self.last_feat_hits = feat_hits
         self.last_edges = edges
         self.last_slots = slots
+        self.last_topo_hits = topo_hits
+        self.last_topo_total = topo_total
         return dict(state, params=params, opt_state=opt_state,
-                    pos_map=pos_map, train_ctr=ctr), loss
+                    pos_map=pos_map, train_ctr=ctr, **extra), loss
 
     def _reset_metrics(self, state: Dict) -> Dict:
         # two distinct buffers — both are donated by the eval step
@@ -780,47 +1160,72 @@ class Trainer:
     def run_eval(self, state: Dict, mode: Mode) -> Tuple[Dict, float]:
         state = self._reset_metrics(state)
         bank = self.valid_bank if mode == Mode.VALID else self.test_bank
+        ybank = self.valid_ybank if mode == Mode.VALID else self.test_ybank
         n = self.schedule.valid_step if mode == Mode.VALID \
             else self.schedule.test_step
         stepper = self._eval_steps[mode]
         for _ in range(n):
-            state = stepper(state, bank)
+            state = stepper(state, bank, ybank)
         acc = float(state["correct"]) / max(float(state["total"]), 1.0)
         return state, acc
 
     # ------------------------------------------------------------------
-    def fit(self, state: Optional[Dict] = None, verbose: bool = True
+    def fit(self, state: Optional[Dict] = None, verbose: bool = True,
+            checkpoint_dir: str = "", checkpoint_every: int = 0
             ) -> Tuple[Dict, List[EpochStats]]:
         """Run the full reference schedule: per epoch train then valid;
         test once at the end (ipc_service.cu:213-253). Prints epoch wall
-        time and accuracies like legion_graphsage.py:158-180."""
+        time and accuracies like legion_graphsage.py:158-180.
+        checkpoint_every > 0 saves to checkpoint_dir every N epochs."""
+        from legion_tpu.utils.metrics import StepMetrics
         if state is None:
             state = self.init_state()
         sch = self.schedule
         stats: List[EpochStats] = []
+        self.epoch_metrics: List[StepMetrics] = []
+        cache_on = self._use_clique or self.cache_plan is not None
         for epoch in range(sch.epochs):
             t0 = time.time()
-            losses = []
-            hits = []
+            losses, hits, edges, slots = [], [], [], []
+            sm = StepMetrics(feat_dim=self.dataset.meta.feature_dim)
             for _ in range(sch.train_step):
                 state, loss = self.train_step(state)
                 losses.append(loss)
                 hits.append(self.last_feat_hits)
+                edges.append(self.last_edges)
+                slots.append(self.last_slots)
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses \
                 else float("nan")
-            # cache-hit counters come off-device once per epoch (the live
-            # replacement for the reference's disabled PCM monitor)
-            total_hits = int(jnp.sum(jnp.stack(hits))) if hits else 0
+            # per-step counters come off-device once per epoch (the live
+            # replacement for the reference's disabled PCM monitor,
+            # monitor.cuh:83-135: bytes served by cache vs fetched host-side)
+            if losses:
+                tot = jnp.stack([jnp.stack(hits), jnp.stack(edges),
+                                 jnp.stack(slots)]).sum(axis=1)
+                th, te, ts = (int(v) for v in np.asarray(tot))
+                sm.steps = len(losses)
+                sm.edges, sm.feat_hits = te, th
+                sm.nodes = sm.feat_total = ts
+                if not cache_on:
+                    sm.feat_hits = ts   # all slots served from HBM
+            sm.stop()
             state, acc = self.run_eval(state, Mode.VALID)
             dt = time.time() - t0
             stats.append(EpochStats(epoch, train_loss, acc, dt))
+            self.epoch_metrics.append(sm)
             if verbose:
-                hit_info = ""
-                if self._use_clique or self.cache_plan is not None:
-                    hit_info = f" | feat cache hits {total_hits}"
+                hit_info = (f" | hit rate {sm.hit_rate:.3f} | host "
+                            f"{sm.host_bytes / 1e6:.1f}MB") if cache_on \
+                    else ""
                 print(f"Epoch {epoch:03d} | time {dt:.2f}s | "
-                      f"loss {train_loss:.4f} | val acc {acc:.4f}"
-                      f"{hit_info}")
+                      f"loss {train_loss:.4f} | val acc {acc:.4f} | "
+                      f"{sm.edges_per_s / 1e6:.1f}M edges/s | "
+                      f"{sm.nodes_per_s / 1e6:.1f}M nodes/s{hit_info}")
+            if checkpoint_dir and checkpoint_every > 0 and \
+                    (epoch + 1) % checkpoint_every == 0:
+                from legion_tpu.utils import save_checkpoint
+                save_checkpoint(checkpoint_dir, state,
+                                int(state["train_ctr"]))
         state, self.test_acc = self.run_eval(state, Mode.TEST)
         if verbose:
             print(f"Test acc {self.test_acc:.4f}")

@@ -53,4 +53,8 @@ def restore_checkpoint(path: str, trainer, step: int = -1) -> Dict:
     out = dict(state)
     for k in _SAVED_KEYS:
         out[k] = restored[k]
+    # the inter-batch pipeline carry is scratch: re-sample it for the
+    # restored train_ctr (init_state primed it for ctr=0)
+    if hasattr(trainer, "prime_carry"):
+        out = trainer.prime_carry(out)
     return out

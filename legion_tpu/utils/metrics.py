@@ -26,6 +26,7 @@ class StepMetrics:
     feat_hits: int = 0
     feat_total: int = 0
     t_start: float = field(default_factory=time.time)
+    frozen_s: Optional[float] = None
 
     def record(self, num_edges: int, num_nodes: int, feat_hits: int = 0,
                feat_total: int = 0) -> None:
@@ -35,8 +36,15 @@ class StepMetrics:
         self.feat_hits += feat_hits
         self.feat_total += feat_total
 
+    def stop(self) -> None:
+        """Freeze the clock (call when the measured phase ends, so later
+        property reads don't keep counting)."""
+        self.frozen_s = time.time() - self.t_start
+
     @property
     def seconds(self) -> float:
+        if self.frozen_s is not None:
+            return self.frozen_s
         return time.time() - self.t_start
 
     @property

@@ -83,6 +83,41 @@ def test_miss_cap_overflow_drops_tail(small_dataset, monkeypatch):
     assert not hasattr(t, "_train_cores")
 
 
+def _cfg_multidev(ds, transfer, n_dev=4):
+    return LegionConfig(
+        dataset=ds.meta,
+        sampler=SamplerConfig(fanouts=(5, 3), batch_size=16,
+                              eval_batch_size=32, dedup="sort"),
+        cache=CacheConfig(cache_bytes=200_000, feature_residency="host",
+                          presample_steps=2, host_transfer=transfer),
+        train=TrainConfig(model="graphsage", hidden_dim=16, epochs=1,
+                          seed=3, compute_dtype="float32"),
+        mesh=MeshConfig.for_devices(n_dev, clique_size=n_dev),
+    )
+
+
+def test_staged_multidev_matches_callback(small_dataset):
+    """4-member clique, staged transfer: program A runs the clique
+    collective lookup (no callbacks), misses cross host->device between
+    programs. Must match the callback path's losses exactly."""
+    ds = small_dataset
+    t_cb = Trainer(ds, _cfg_multidev(ds, "callback"))
+    t_st = Trainer(ds, _cfg_multidev(ds, "staged"))
+    assert not t_cb._staged_host and t_st._staged_host
+    assert t_st._use_clique and t_st._staged_clique
+    s_cb = t_cb.init_state()
+    s_st = t_st.init_state()
+    for _ in range(3):
+        s_cb, l_cb = t_cb.train_step(s_cb)
+        s_st, l_st = t_st.train_step(s_st)
+        np.testing.assert_allclose(float(l_cb), float(l_st), rtol=1e-5,
+                                   atol=1e-6)
+    assert int(t_st.last_feat_hits) > 0
+    s_cb, acc_cb = t_cb.run_eval(s_cb, Mode.VALID)
+    s_st, acc_st = t_st.run_eval(s_st, Mode.VALID)
+    assert abs(acc_cb - acc_st) < 1e-6, (acc_cb, acc_st)
+
+
 def test_staged_prefetch_pipeline_chains(trainers):
     """The one-step sample lookahead must produce the same losses when an
     eval pass interrupts the train chain (prefetch survives or resyncs)."""

@@ -57,6 +57,59 @@ def test_ldg_partitioner_beats_random(small_dataset):
     assert cut < rnd_cut * 0.95, (cut, rnd_cut)
 
 
+def test_ogb_converter_npy_roundtrip(tmp_path):
+    """OGB npy-export -> Legion binary layout -> loadable + trainable."""
+    from legion_tpu.tools import prepare
+    rng = np.random.default_rng(5)
+    V, E, F = 500, 4000, 12
+    npy = tmp_path / "npy"
+    os.makedirs(npy)
+    edge_index = rng.integers(0, V, (2, E), dtype=np.int64)
+    np.save(npy / "edge_index.npy", edge_index)
+    np.save(npy / "node_feat.npy",
+            rng.standard_normal((V, F)).astype(np.float32))
+    np.save(npy / "labels.npy", rng.integers(0, 7, (V, 1)))
+    ids = rng.permutation(V)
+    np.save(npy / "train_idx.npy", ids[:200])
+    np.save(npy / "valid_idx.npy", ids[200:300])
+    np.save(npy / "test_idx.npy", ids[300:400])
+    out = str(tmp_path / "legion")
+    prepare.main(["ogb", "--out", out, "--npy-dir", str(npy)])
+
+    from legion_tpu.config import DatasetMeta
+    from legion_tpu.data import LegionDataset
+    indptr = np.fromfile(os.path.join(out, "edge_src"), np.int64)
+    n_edges = int(indptr[-1])
+    meta = DatasetMeta(path=out, batch_size=64, num_nodes=V,
+                       num_edges=n_edges, feature_dim=F, train_size=200,
+                       valid_size=100, test_size=100, num_classes=7)
+    ds = LegionDataset.load(meta)
+    # symmetrized minus self-loops
+    assert n_edges <= 2 * E
+    assert ds.features.shape == (V, F)
+    # every original edge is present in both directions
+    s, d = int(edge_index[0, 0]), int(edge_index[1, 0])
+    if s != d:
+        assert d in ds.graph.neighbors(s)
+        assert s in ds.graph.neighbors(d)
+    # trains end to end
+    from legion_tpu.config import (CacheConfig, LegionConfig, MeshConfig,
+                                   SamplerConfig, TrainConfig)
+    from legion_tpu.train import Trainer
+    cfg = LegionConfig(
+        dataset=meta,
+        sampler=SamplerConfig(fanouts=(3, 2), batch_size=64,
+                              eval_batch_size=50, dedup="sort"),
+        cache=CacheConfig(),
+        train=TrainConfig(model="graphsage", hidden_dim=16, epochs=1,
+                          compute_dtype="float32"),
+        mesh=MeshConfig.for_devices(1))
+    trainer = Trainer(ds, cfg)
+    state = trainer.init_state()
+    state, loss = trainer.train_step(state)
+    assert np.isfinite(float(loss))
+
+
 def test_launcher_cli_synthetic():
     from legion_tpu import run as lrun
     trainer, state, stats = lrun.main([
