@@ -130,12 +130,13 @@ def main():
     dt = time.time() - t0
     step_time = dt / n_steps
 
-    # true valid-edge/node counts measured on one sampled batch. With the
-    # lane-aligned last hop, num_nodes[-1] counts valid LANES (duplicates
-    # included); the deduped unique count is recomputed host-side so
-    # "unique_nodes_per_step" means the same thing in every mode
-    # (round-1 advisor finding).
-    sampler = NeighborSampler(cfg.sampler, ds.meta.num_nodes)
+    # true valid-edge/node counts measured on one sampled batch with the
+    # TRAINER's capped sampler, so cap-dropped nodes are not counted as
+    # trained. With the lane-aligned last hop, num_nodes[-1] counts valid
+    # LANES (duplicates included); the deduped unique count is recomputed
+    # host-side so "unique_nodes_per_step" means the same thing in every
+    # mode (round-1 advisor finding).
+    sampler = trainer.sampler_t
     seeds = jax.lax.dynamic_slice(
         trainer.train_bank[0], (0,), (args.batch,))
     b, _ = sampler.sample(trainer.graph_access, seeds,

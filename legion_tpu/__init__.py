@@ -16,7 +16,8 @@ Subsystem map (reference parity, see SURVEY.md):
                 (reference: src/cache/cache.cu)
   - models/     GraphSAGE / GCN / GAT / link-prediction SAGE
                 (reference: training_backend/legion_*.py)
-  - ops/        segment ops + Pallas kernels for the hot paths
+  - ops/        segment/aggregation ops (XLA forms; measured Pallas
+                alternatives kept as an experiment harness)
   - parallel/   mesh construction, cache groups, collectives
   - pipeline/   async prefetch, train/valid/test scheduling
                 (reference: src/engine/ipc_service.cu — obsoleted by

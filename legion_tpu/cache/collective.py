@@ -34,14 +34,16 @@ import numpy as np
 
 
 def build_clique_cache(feature_order: np.ndarray, group_capacity: int,
-                       host_features: np.ndarray, group_size: int
+                       host_features: np.ndarray, group_size: int,
+                       feat_dtype: str = "float32"
                        ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Host-side FillUp (cache.cu:553-611).
 
     Returns (slot_map [V] int32 with GLOBAL slot ids or -1,
-             member_rows [Kg, R, F] float32, R).
+             member_rows [Kg, R, F] in feat_dtype, R).
     Global slot i (i-th hottest cached vertex) lives on member i % Kg at
-    local row i // Kg.
+    local row i // Kg. feat_dtype="bfloat16" halves shard bytes (2x rows
+    per budget; pair with plan_cache(bytes_per_feat=2)).
     """
     from legion_tpu import native
     V, F = host_features.shape
@@ -51,11 +53,16 @@ def build_clique_cache(feature_order: np.ndarray, group_capacity: int,
     hot = np.asarray(feature_order[:C], np.int32)
     slot_map = np.full(V, -1, np.int32)
     slot_map[hot] = np.arange(C, dtype=np.int32)
-    member_rows = np.zeros((Kg, R, F), np.float32)
+    if feat_dtype == "bfloat16":
+        import ml_dtypes
+        npdt = ml_dtypes.bfloat16
+    else:
+        npdt = np.float32
+    member_rows = np.zeros((Kg, R, F), npdt)
     for j in range(Kg):
         ids_j = hot[j::Kg]
         member_rows[j, : len(ids_j)] = native.gather_rows(
-            host_features, ids_j)
+            host_features, ids_j, dtype=feat_dtype)
     return slot_map, member_rows, R
 
 
@@ -122,9 +129,10 @@ class CliqueFeatureCache:
         host, Kg, R, axis, slack = aux
         return cls(children[0], host.array, Kg, R, axis, slack)
 
-    def _host_gather(self, ids: np.ndarray) -> np.ndarray:
+    def _host_gather(self, ids: np.ndarray, dt: str) -> np.ndarray:
         from legion_tpu import native
-        return native.gather_rows(self.host, np.asarray(ids, np.int32))
+        return native.gather_rows(self.host, np.asarray(ids, np.int32),
+                                  dtype=dt)
 
     def fetch_cached(self, ids: jax.Array, member_rows: jax.Array
                      ) -> Tuple[jax.Array, jax.Array]:
@@ -170,10 +178,11 @@ class CliqueFeatureCache:
         branch of multiGPU_feat_cache_lookup (cache_impl.cuh:239-272)."""
         rows, collective_hit = self.fetch_cached(ids, member_rows)
         N, F = ids.shape[0], self.feat_dim
+        dt = "bfloat16" if member_rows.dtype == jnp.bfloat16 else "float32"
         miss_ids = jnp.where(collective_hit, -1, ids)
         miss_rows = jax.pure_callback(
-            self._host_gather,
-            jax.ShapeDtypeStruct((N, F), jnp.float32),
+            lambda i: self._host_gather(i, dt),
+            jax.ShapeDtypeStruct((N, F), member_rows.dtype),
             miss_ids, vmap_method="sequential")
         rows = jnp.where(collective_hit[:, None], rows,
                          miss_rows.astype(rows.dtype))

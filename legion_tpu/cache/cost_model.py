@@ -59,14 +59,16 @@ def _order_and_prefix(node_access, edge_access, degrees, feat_row_bytes):
 def plan_cache(node_access: jax.Array, edge_access: jax.Array,
                csr, cache_bytes: int, feat_dim: int,
                alpha_step: float = 0.01,
-               group_size: int = 1) -> CostModelResult:
+               group_size: int = 1,
+               bytes_per_feat: int = 4) -> CostModelResult:
     """Pick (feature_capacity, topo_capacity) maximizing saved bytes.
 
     ``csr`` may be a DeviceCSR or a [V] degree array (host datasets).
     group_size (Kg) multiplies the budget: a cache group aggregates its
     members' HBM like the reference's NVLink clique (cache.cu:375-389);
     capacities returned are GROUP totals (split across members by the
-    UnifiedCache layout).
+    UnifiedCache layout). bytes_per_feat=2 for bf16 cache storage —
+    DOUBLES the rows a byte budget holds.
     """
     if isinstance(csr, DeviceCSR):
         degrees = csr.degrees()
@@ -74,7 +76,7 @@ def plan_cache(node_access: jax.Array, edge_access: jax.Array,
     else:
         degrees = jnp.asarray(csr)
         V = int(degrees.shape[0])
-    feat_row_bytes = 4 * feat_dim
+    feat_row_bytes = bytes_per_feat * feat_dim
     qf, qt, feat_saved, topo_saved, topo_bytes = _order_and_prefix(
         node_access, edge_access, degrees, float(feat_row_bytes))
     feat_saved = np.asarray(feat_saved)

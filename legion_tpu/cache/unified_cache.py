@@ -118,11 +118,14 @@ class UnifiedCache:
                         host_features: Optional[np.ndarray],
                         host_indptr: Optional[np.ndarray],
                         host_indices: Optional[np.ndarray],
-                        num_nodes: int) -> "UnifiedCache":
+                        num_nodes: int,
+                        feat_dtype: str = "float32") -> "UnifiedCache":
         """FillUp from host-resident storage: hot feature rows and the hot
         sub-CSR are gathered on host (native runtime) and shipped to HBM
         once — the analog of FeatFillUp/TopoFillUp's H2D copies
-        (cache_impl.cuh:183-188, graph_storage_impl.cuh:27-53)."""
+        (cache_impl.cuh:183-188, graph_storage_impl.cuh:27-53).
+        feat_dtype="bfloat16" stores the cache in bf16 (2x rows per byte
+        budget; pair with plan_cache(bytes_per_feat=2))."""
         from legion_tpu import native
         cache_rows = slot_map = None
         sub_indptr = sub_indices = row_map = None
@@ -131,7 +134,8 @@ class UnifiedCache:
             qf = np.asarray(plan.feature_order[:plan.feature_capacity],
                             np.int32)
             rows = native.gather_rows(
-                np.ascontiguousarray(host_features, np.float32), qf)
+                np.ascontiguousarray(host_features, np.float32), qf,
+                dtype=feat_dtype)
             from legion_tpu.utils.layout import put_row_major
             cache_rows = put_row_major(rows)
             slot_map = jnp.full((V,), -1, jnp.int32).at[
@@ -216,6 +220,11 @@ class DeviceFeatureSource(FeatureSource):
 
     def fetch(self, ids):
         rows = self.features[jnp.clip(ids, 0, self.features.shape[0] - 1)]
+        # zero pad rows (XLA fuses the select into the gather output):
+        # every FeatureSource guarantees zeros for invalid ids, which lets
+        # the aligned-hop aggregation contract over the fanout axis
+        # UNMASKED on the MXU (ops/hop_agg.py)
+        rows = jnp.where((ids >= 0)[:, None], rows, 0)
         n = jnp.sum(ids >= 0, dtype=jnp.int32)
         return rows, n
 
@@ -244,7 +253,10 @@ class CachedFeatureSource(FeatureSource):
 
     def _host_gather(self, ids: np.ndarray) -> np.ndarray:
         from legion_tpu import native
-        return native.gather_rows(self.host, np.asarray(ids, np.int32))
+        dt = "bfloat16" if self.cache.cache_rows.dtype == jnp.bfloat16 \
+            else "float32"
+        return native.gather_rows(self.host, np.asarray(ids, np.int32),
+                                  dtype=dt)
 
     def fetch(self, ids):
         slot, hit = self.cache.find_feat(ids)
@@ -252,7 +264,7 @@ class CachedFeatureSource(FeatureSource):
         miss_rows = jax.pure_callback(
             self._host_gather,
             jax.ShapeDtypeStruct((ids.shape[0], self.feat_dim),
-                                 jnp.float32),
+                                 self.cache.cache_rows.dtype),
             miss_ids, vmap_method="sequential")
         cached = self.cache.gather_cached(slot)
         rows = jnp.where(hit[:, None], cached, miss_rows)

@@ -281,14 +281,16 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     seed: int = 0
     # Inter-batch software pipelining of the fused step: train on batch N
-    # (MXU-bound) while sampling + feature-gathering batch N+1 (DMA-bound)
-    # in the SAME program — XLA overlaps the independent streams (measured:
-    # a 4.6ms matmul rides entirely under a 10.8ms gather). Numerically
-    # EXACT: batch N still trains on the params of step N-1 with the same
-    # RNG stream; only the schedule changes. The reference needed the
-    # 2-deep IPC producer/consumer pipeline + 3 CUDA streams for the same
-    # overlap (system_config.cuh:47-48, server.cu:311-317).
-    interbatch: bool = True
+    # while sampling + feature-gathering batch N+1 in the SAME program.
+    # Numerically EXACT (same params/RNG sequence; only the schedule
+    # changes) — the reference's 2-deep producer/consumer pipeline
+    # (system_config.cuh:47-48). XLA overlaps the gather's async DMA with
+    # MXU work (measured: a 4.6ms matmul rides entirely under a 10.8ms
+    # gather), so this pays off when the model is COMPUTE-bound (wide
+    # hidden dims, GAT heads). At bench shapes the 2-layer GraphSAGE is
+    # memory-bound end to end and the streams just serialize, so the
+    # default is off; flip on for MXU-heavy models.
+    interbatch: bool = False
 
 
 @dataclass(frozen=True)

@@ -43,7 +43,11 @@ def sage_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
     """
     h_dst = h_src[:num_dst]
     d_in, d_out = params["w_neigh"].shape
-    if aligned_offset is None and d_in > d_out:
+    # d_out >= 64: gathers of rows narrower than ~256B fall off the fast
+    # row-DMA path (measured 21.5 vs 8.3 ns/row), so projecting down to a
+    # tiny class dim would make the forward gather slower than the
+    # backward scatter it saves
+    if aligned_offset is None and d_in > d_out >= 64:
         hp = (h_src @ params["w_neigh"]).astype(h_src.dtype)
         h_neigh = hop_neighbor_mean(hp, edge_src, fanout, hop_offset,
                                     num_dst, aligned_offset)

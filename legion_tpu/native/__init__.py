@@ -48,6 +48,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.lg_gather_rows_f32.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+    lib.lg_gather_rows_bf16.argtypes = lib.lg_gather_rows_f32.argtypes
     lib.lg_sample_neighbors.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, ctypes.c_void_p,
@@ -74,12 +75,28 @@ def _nthreads() -> int:
     return max(1, os.cpu_count() or 1)
 
 
-def gather_rows(features: np.ndarray, ids: np.ndarray) -> np.ndarray:
+def gather_rows(features: np.ndarray, ids: np.ndarray,
+                dtype: str = "float32") -> np.ndarray:
     """out[i] = features[ids[i]] (zeros for ids<0). Parallel C++ when
-    available."""
+    available. dtype="bfloat16" converts in flight (halves the bytes the
+    staged miss path ships host->device)."""
     ids = np.ascontiguousarray(ids, np.int32)
-    out = np.empty((ids.shape[0], features.shape[1]), np.float32)
     lib = _load()
+    if dtype == "bfloat16":
+        import ml_dtypes
+        out = np.empty((ids.shape[0], features.shape[1]),
+                       ml_dtypes.bfloat16)
+        if lib is None or not features.flags["C_CONTIGUOUS"]:
+            mask = ids >= 0
+            out[:] = 0
+            out[mask] = features[ids[mask]].astype(ml_dtypes.bfloat16)
+            return out
+        lib.lg_gather_rows_bf16(
+            features.ctypes.data_as(ctypes.c_void_p), features.shape[0],
+            features.shape[1], ids.ctypes.data_as(ctypes.c_void_p),
+            ids.shape[0], out.ctypes.data_as(ctypes.c_void_p), _nthreads())
+        return out
+    out = np.empty((ids.shape[0], features.shape[1]), np.float32)
     if lib is None or not features.flags["C_CONTIGUOUS"]:
         mask = ids >= 0
         out[:] = 0

@@ -81,6 +81,33 @@ void lg_gather_rows_f32(const float* src, int64_t n_rows, int64_t row_len,
   });
 }
 
+// Gather rows converting f32 -> bf16 in flight (truncation). Halves the
+// host->device bytes of the staged miss path — on a PCIe host that's the
+// difference between ~12ms and ~6ms per step of transfer; over slow links
+// (tunneled dev runtimes) it is the dominant cost.
+void lg_gather_rows_bf16(const float* src, int64_t n_rows, int64_t row_len,
+                         const int32_t* ids, int64_t n_ids, uint16_t* out,
+                         int n_threads) {
+  parallel_for(n_ids, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int32_t id = ids[i];
+      uint16_t* dst = out + i * row_len;
+      if (id >= 0 && id < n_rows) {
+        const float* row = src + (int64_t)id * row_len;
+        for (int64_t j = 0; j < row_len; ++j) {
+          uint32_t bits;
+          std::memcpy(&bits, row + j, 4);
+          // round-to-nearest-even bf16
+          uint32_t rounded = bits + 0x7fffu + ((bits >> 16) & 1u);
+          dst[j] = (uint16_t)(rounded >> 16);
+        }
+      } else {
+        std::memset(dst, 0, row_len * sizeof(uint16_t));
+      }
+    }
+  });
+}
+
 // Uniform-with-replacement neighbor sampling from a host CSR.
 // frontier ids < 0 or degree-0 rows emit -1s.
 void lg_sample_neighbors(const int64_t* indptr, const int32_t* indices,

@@ -60,7 +60,13 @@ def hop_neighbor_sum(h_src: jax.Array, src_l: jax.Array, fanout: int,
                      aligned_offset: Optional[int] = None,
                      ) -> Tuple[jax.Array, jax.Array]:
     """Sum of neighbor features per dst and the neighbor count per dst.
-    Returns (sum [num_dst, d], count [num_dst])."""
+    Returns (sum [num_dst, d], count [num_dst]).
+
+    The reduction stays a VPU masked reshape+sum: measured IN CONTEXT it
+    fuses with the feature-gather producer and beats an MXU ones-vector
+    dot_general by ~1.6ms/step at bench shapes (the dot forces the [F,
+    fanout, d] operand to materialize in MXU layout; isolated microbenches
+    said the opposite — trust the fused measurement)."""
     msgs, valid = hop_gather_msgs(h_src, src_l, fanout, aligned_offset)
     # accumulate in f32 so bf16 feature storage loses no precision
     acc = jnp.float32 if msgs.dtype == jnp.bfloat16 else msgs.dtype

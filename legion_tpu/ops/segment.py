@@ -6,8 +6,10 @@ dgl.nn.SAGEConv whose hot path is copy_u/mean). Convention throughout:
 segment id -1 == padded/invalid edge, dropped from every reduction (mirrors
 the reference's -1 padded id buffers, operator_impl.cu:40-43).
 
-Plain XLA versions here; Pallas-fused gather+segment-sum lives in
-ops/pallas_segment.py and is used on the hot path when enabled.
+These XLA forms ARE the production path: the Pallas per-row-DMA gather and
+VMEM-accumulating segment-sum in ops/pallas_segment.py were measured slower
+on the target chip (see its module docstring + docs/DESIGN.md), so they
+remain an experiment harness, not the default.
 """
 
 from __future__ import annotations

@@ -162,6 +162,18 @@ class Trainer:
         # cache FillUp), reference server.cu:90-117 ---
         self._setup_storage(rep)
 
+        if self.compact_caps is not None:
+            # eval buffers: an eval batch draws from fewer seeds than a
+            # train batch over the same graph, so the measured train caps
+            # bound eval's unique-node growth too — no more worst-case
+            # 25x10 eval buffers (round-2 review, Weak #6)
+            worst_e = self.sampler_e.config.cum_sizes()
+            ecaps = (scfg.eval_batch_size,) + tuple(
+                min(w, c) for w, c in zip(worst_e[1:],
+                                          self.compact_caps[1:]))
+            eval_scfg = replace(eval_scfg, node_caps=ecaps)
+            self.sampler_e = NeighborSampler(eval_scfg, V)
+
         # --- models (shapes follow the final sampler configs) ---
         self.model_t = make_model(config.train, self.sampler_t.config,
                                   meta.feature_dim, meta.num_classes)
@@ -303,11 +315,15 @@ class Trainer:
             return
 
         # topology hotness only matters if topology actually needs caching
+        # bf16 cache storage doubles the rows a byte budget holds
+        self._feat_dtype = "bfloat16" \
+            if config.train.compute_dtype == "bfloat16" else "float32"
+        bpf = 2 if self._feat_dtype == "bfloat16" else 4
         ea_eff = ea if topo_host else jnp.zeros_like(ea)
         na_eff = na if feat_host else jnp.zeros_like(na)
         plan = plan_cache(na_eff, ea_eff, degrees, cache_cfg.cache_bytes,
                           meta.feature_dim, cache_cfg.alpha_step,
-                          group_size=Kg)
+                          group_size=Kg, bytes_per_feat=bpf)
         self.cache_plan = plan
 
         if self.n_dev > 1:
@@ -319,7 +335,8 @@ class Trainer:
         cache = UnifiedCache.build_from_host(
             plan, host_feats if feat_host else None,
             host_indptr if topo_host else None,
-            host_indices if topo_host else None, V)
+            host_indices if topo_host else None, V,
+            feat_dtype=self._feat_dtype)
 
         if topo_host:
             self.graph_access = CachedTopoAccess(
@@ -415,7 +432,7 @@ class Trainer:
             # axis (degenerates to a per-device cache at Kg == 1)
             slot_map, member_rows, R = build_clique_cache(
                 np.asarray(plan.feature_order), plan.feature_capacity,
-                host_feats, Kg)
+                host_feats, Kg, feat_dtype=self._feat_dtype)
             self.member_rows = jax.device_put(
                 member_rows,
                 NamedSharding(mesh, P("member", None, None)))
@@ -1030,7 +1047,10 @@ class Trainer:
         (cache_impl.cuh:239-272)."""
         from legion_tpu import native
         ids_np = np.asarray(m_ids)[:, :cap]          # [n_dev, cap]
-        rows = native.gather_rows(self._host_feats, ids_np.reshape(-1))
+        # bf16 transfer when the cache is bf16: halves the bytes crossing
+        # host->device, which dominates the staged step on slow links
+        rows = native.gather_rows(self._host_feats, ids_np.reshape(-1),
+                                  dtype=self._feat_dtype)
         rows = rows.reshape(self.n_dev, cap, -1)
         return jax.device_put(
             rows, NamedSharding(self.mesh, P(self.axes, None, None)))

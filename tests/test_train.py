@@ -69,6 +69,32 @@ def test_dp_grad_equivalence(small_dataset):
     assert s2[-1].valid_acc > 0.4
 
 
+def test_interbatch_pipeline_exact_equivalence(small_dataset):
+    """The inter-batch pipelined step (TrainConfig.interbatch) must produce
+    the EXACT loss sequence of the sequential step — same params and RNG
+    stream, only the schedule differs (system_config.cuh:47 parity)."""
+    import dataclasses
+    ds = small_dataset
+    cfg = _config(ds, n_dev=2, epochs=1)
+    cfg_p = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, interbatch=True))
+    t0, t1 = Trainer(ds, cfg), Trainer(ds, cfg_p)
+    s0, s1 = t0.init_state(), t1.init_state()
+    assert "carry_batch" in s1 and "carry_batch" not in s0
+    for _ in range(4):
+        s0, l0 = t0.train_step(s0)
+        s1, l1 = t1.train_step(s1)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6,
+                                   atol=1e-7)
+    # eval between train steps leaves the pipelined chain consistent
+    s1, acc1 = t1.run_eval(s1, Mode.VALID)
+    s0, acc0 = t0.run_eval(s0, Mode.VALID)
+    assert abs(acc0 - acc1) < 1e-6
+    s0, l0 = t0.train_step(s0)
+    s1, l1 = t1.train_step(s1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6, atol=1e-7)
+
+
 def test_gcn_and_gat_train(small_dataset):
     ds = small_dataset
     for model in ("gcn", "gat"):
