@@ -339,8 +339,8 @@ class CliqueTopoCache:
 
     def lookup(self, frontier: jax.Array, fanout: int, key: jax.Array
                ) -> Tuple[jax.Array, jax.Array]:
-        """Collective-only draws: returns (nbr [F*fanout] int32 with -1 on
-        miss lanes, served [F] bool)."""
+        """Collective-only draws: returns (nbr [fanout*F] int32 in
+        fanout-major lane order with -1 on miss lanes, served [F] bool)."""
         F = frontier.shape[0]
         Kg = self.Kg
         R_req = int(-(-F * self.slack // Kg))
@@ -363,7 +363,7 @@ class CliqueTopoCache:
         nbr = out_sorted[inv]                              # [F, fanout]
         served = hit & in_bounds
         nbr = jnp.where(served[:, None], nbr, -1)
-        return nbr.reshape(-1), served
+        return nbr.T.reshape(-1), served
 
     def sample_neighbors(self, frontier: jax.Array, fanout: int,
                          key: jax.Array) -> jax.Array:
@@ -371,7 +371,7 @@ class CliqueTopoCache:
         miss_frontier = jnp.where(served, -1, frontier)
         nbr_miss = self.fallback.sample_neighbors(
             miss_frontier, fanout, jax.random.fold_in(key, 3))
-        return jnp.where(jnp.repeat(served, fanout), nbr, nbr_miss)
+        return jnp.where(jnp.tile(served, fanout), nbr, nbr_miss)
 
 
 jax.tree_util.register_pytree_node_class(CliqueTopoCache)
@@ -413,7 +413,7 @@ class HostFallbackAccess:
             lambda f, s: self._host_draw(f, fanout, s),
             jax.ShapeDtypeStruct((F, fanout), jnp.int32),
             frontier, seed, vmap_method="sequential")
-        return nbr.reshape(-1)
+        return nbr.T.reshape(-1)
 
 
 jax.tree_util.register_pytree_node_class(HostFallbackAccess)

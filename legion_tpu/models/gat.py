@@ -42,7 +42,8 @@ def gat_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
     el = jnp.sum(z * params["attn_l"][None], axis=-1)  # [N_src, H]
     er = jnp.sum(z * params["attn_r"][None], axis=-1)
     F = edge_src.shape[0] // fanout
-    # dst of lane (i, f) is frontier row i at position hop_offset + i
+    # fanout-major lanes: dst of lane f*F + i is frontier row i at
+    # position hop_offset + i
     er_dst = jax.lax.dynamic_slice(
         er, (jnp.asarray(hop_offset, jnp.int32), jnp.int32(0)), (F, H))
     if aligned_offset is not None:
@@ -50,7 +51,7 @@ def gat_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
                              (aligned_offset + edge_src.shape[0], H))
     else:
         el_e = gather_rows(el, edge_src)
-    e = el_e.reshape(F, fanout, H) + er_dst[:, None]
+    e = el_e.reshape(fanout, F, H) + er_dst[None, :]
     e = jax.nn.leaky_relu(e, negative_slope)
     out = hop_softmax_attention(z, e, edge_src, fanout, hop_offset,
                                 num_dst, attn_drop, train, rng,

@@ -38,8 +38,11 @@ class GraphAccess:
 
     def sample_neighbors(self, frontier: jax.Array, fanout: int,
                          key: jax.Array) -> jax.Array:
-        """frontier [F] int32 (-1 pad) -> neighbors [F*fanout] int32, -1
-        where the frontier slot is invalid or the vertex has no edges."""
+        """frontier [F] int32 (-1 pad) -> neighbors [fanout*F] int32 in
+        FANOUT-MAJOR lane order (draw f of frontier slot i at lane
+        f*F + i), -1 where the frontier slot is invalid or the vertex has
+        no edges. Fanout-major keeps the downstream [fanout, F, d]
+        aggregation reshape tile-aligned (ops/hop_agg.py)."""
         raise NotImplementedError
 
 
@@ -79,12 +82,12 @@ class DeviceCSRAccess(GraphAccess):
         row_end = _gather(csr.indptr[1:], frontier, fvalid, 0)
         deg = jnp.where(fvalid, (row_end - row_start).astype(jnp.int32), 0)
         F = frontier.shape[0]
-        r = jax.random.randint(key, (F, fanout), 0,
-                               jnp.maximum(deg, 1)[:, None],
+        r = jax.random.randint(key, (fanout, F), 0,
+                               jnp.maximum(deg, 1)[None, :],
                                dtype=jnp.int32)
-        nbr_pos = row_start[:, None] + r.astype(row_start.dtype)
+        nbr_pos = row_start[None, :] + r.astype(row_start.dtype)
         nbr = _gather(self.csr.indices, nbr_pos.reshape(-1),
-                      jnp.repeat(deg > 0, fanout), -1)
+                      jnp.tile(deg > 0, fanout), -1)
         return nbr
 
 
@@ -182,14 +185,14 @@ class WindowedCSRAccess(GraphAccess):
         hi = (jnp.minimum(base + W, row_start + deg) - base).astype(
             jnp.int32)
         m = jnp.maximum(hi - lo, 1)
-        # within-block offsets of the draws
-        off = lo[:, None] + jax.random.randint(k1, (F, fanout), 0,
-                                               m[:, None], dtype=jnp.int32)
+        # within-block offsets of the draws, fanout-major
+        off = lo[None, :] + jax.random.randint(k1, (fanout, F), 0,
+                                               m[None, :], dtype=jnp.int32)
         rows = self.indices2d[blk]                         # [F, W] row DMA
         sel = off[..., None] == jnp.arange(W, dtype=jnp.int32)
-        cand = jnp.sum(jnp.where(sel, rows[:, None, :], 0), axis=-1,
+        cand = jnp.sum(jnp.where(sel, rows[None, :, :], 0), axis=-1,
                        dtype=jnp.int32)
-        cand = jnp.where(ok[:, None], cand, -1)
+        cand = jnp.where(ok[None, :], cand, -1)
         return cand.reshape(-1)
 
 
@@ -234,18 +237,18 @@ class CachedTopoAccess(GraphAccess):
         row = _gather(self.row_map, frontier, fvalid, -1)
         hit = row >= 0
 
-        # cached branch
+        # cached branch (fanout-major lanes)
         rowc = jnp.clip(row, 0, self.sub_indptr.shape[0] - 2)
         rs = self.sub_indptr[rowc]
         re = self.sub_indptr[rowc + 1]
         deg = jnp.where(hit, (re - rs).astype(jnp.int32), 0)
-        r = jax.random.randint(key, (F, fanout), 0,
-                               jnp.maximum(deg, 1)[:, None],
+        r = jax.random.randint(key, (fanout, F), 0,
+                               jnp.maximum(deg, 1)[None, :],
                                dtype=jnp.int32)
-        nbr_pos = rs[:, None] + r.astype(rs.dtype)
+        nbr_pos = rs[None, :] + r.astype(rs.dtype)
         nbr_hit = _gather(self.sub_indices, nbr_pos.reshape(-1),
-                          jnp.repeat(deg > 0, fanout), -1
-                          ).reshape(F, fanout)
+                          jnp.tile(deg > 0, fanout), -1
+                          ).reshape(fanout, F)
 
         # host branch: one batched callback for the misses
         miss_frontier = jnp.where(hit, -1, frontier)
@@ -255,5 +258,5 @@ class CachedTopoAccess(GraphAccess):
             lambda f, s: self._host_draw(f, fanout, s),
             jax.ShapeDtypeStruct((F, fanout), jnp.int32),
             miss_frontier, seed, vmap_method="sequential")
-        nbr = jnp.where(hit[:, None], nbr_hit, nbr_miss)
+        nbr = jnp.where(hit[None, :], nbr_hit, nbr_miss.T)
         return nbr.reshape(-1)

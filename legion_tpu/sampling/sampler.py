@@ -73,10 +73,11 @@ class SampleBatch:
     edge_dst: Tuple[jax.Array, ...]  # per hop [E_k] int32 local idx, -1 pad
     num_edges: jax.Array           # [L] int32 valid edges per hop
     # hop_offsets[k] = first local index of hop k's frontier. Hop-k edges
-    # occupy fanout-contiguous lanes per frontier slot with
-    # dst == hop_offsets[k] + lane // fanout — models exploit this to
-    # aggregate with dense reshape-reductions instead of scatters (the
-    # structural consequence of the reference's frontier rule).
+    # are FANOUT-MAJOR: lane f*F_k + i is draw f of frontier slot i, so
+    # dst == hop_offsets[k] + lane % F_k — models exploit this to
+    # aggregate with tile-aligned [fanout, F, d] slice reductions instead
+    # of scatters (the structural consequence of the reference's frontier
+    # rule, re-laid-out for TPU tiling).
     hop_offsets: jax.Array         # [L] int32
 
     def tree_flatten(self):
@@ -363,11 +364,11 @@ class NeighborSampler:
                     cand, e_valid, cum, ids, pos_map, k, V)
 
             # --- construct_graph: local indices. dst falls out of the
-            # structured layout: lane (i, f) targets frontier row i at
-            # position frontier_off + i ---
+            # structured FANOUT-MAJOR layout: lane f*F_k + i is draw f of
+            # frontier row i at position frontier_off + i ---
             e_ok = src_l >= 0
             lane = jnp.arange(E_k, dtype=jnp.int32)
-            dst_l = jnp.where(e_ok, frontier_off + lane // fanout, -1)
+            dst_l = jnp.where(e_ok, frontier_off + lane % F_k, -1)
             edge_src_l.append(src_l)
             edge_dst_l.append(dst_l)
             num_edges.append(jnp.sum(e_ok, dtype=jnp.int32))

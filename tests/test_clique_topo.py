@@ -97,9 +97,10 @@ def test_clique_topo_draws_are_neighbors():
     nbr, served, full = sm(access, pairs_d, blocks_d,
                            jnp.asarray(frontier), jax.random.PRNGKey(0))
     F = len(frontier)
-    nbr = np.asarray(nbr).reshape(Kg, F, fanout)
+    # lanes are fanout-major: lane f*F + i is draw f of frontier slot i
+    nbr = np.asarray(nbr).reshape(Kg, fanout, F).transpose(0, 2, 1)
     served = np.asarray(served).reshape(Kg, F)
-    full = np.asarray(full).reshape(Kg, F, fanout)
+    full = np.asarray(full).reshape(Kg, fanout, F).transpose(0, 2, 1)
 
     nbr_sets = [set(indices[indptr[v]:indptr[v + 1]].tolist())
                 for v in range(300)]

@@ -24,8 +24,9 @@ def acc(small_dataset):
 def test_draws_are_real_neighbors(acc):
     ds, csr, wa = acc
     frontier = jnp.asarray(ds.train_ids[:64], jnp.int32)
+    # fanout-major lanes: lane f*F + i is draw f of frontier slot i
     nbr = np.asarray(wa.sample_neighbors(frontier, 7, jax.random.PRNGKey(0))
-                     ).reshape(64, 7)
+                     ).reshape(7, 64).T
     for i, v in enumerate(np.asarray(frontier)):
         ns = set(ds.graph.neighbors(int(v)).tolist())
         drawn = nbr[i][nbr[i] >= 0]
@@ -46,7 +47,7 @@ def test_pads_and_determinism(acc):
     c = np.asarray(wa.sample_neighbors(f, 5, jax.random.PRNGKey(4)))
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
-    assert np.all(a.reshape(64, 5)[10:20] == -1)
+    assert np.all(a.reshape(5, 64)[:, 10:20] == -1)
 
 
 def test_marginal_uniformity(acc):
