@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--features", choices=["hbm", "host"], default="hbm")
     ap.add_argument("--cache-mem", type=int, default=200_000_000,
                     help="HBM feature-cache bytes for --features host")
+    # steps per device dispatch (hbm mode). RNG and parameter sequence
+    # identical to 1-step dispatches. MEASURED SLOWER at bench shapes:
+    # the lax.scan loop body loses ~4.6 ms/step of in-program async
+    # overlap vs back-to-back 1-step dispatches (whose ~2.3 ms dispatch
+    # round-trips already pipeline against device execution) — kept at 1.
+    ap.add_argument("--fused-steps", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -107,13 +113,16 @@ def main():
             cache_bytes=args.cache_mem if args.features == "host" else 0,
             feature_residency=args.features),
         train=TrainConfig(model=args.model, hidden_dim=args.hidden,
-                          epochs=1),
+                          epochs=1,
+                          fused_steps=(args.fused_steps
+                                       if args.features == "hbm" else 1)),
         mesh=MeshConfig.for_devices(1),
     )
+    fused = cfg.train.fused_steps
     trainer = Trainer(ds, cfg)
     state = trainer.init_state()
 
-    n_warm = args.warmup
+    n_warm = max(args.warmup // fused, 1)
     t_compile = time.time()
     for _ in range(n_warm):
         state, loss = trainer.train_step(state)
@@ -122,9 +131,10 @@ def main():
     float(loss)
     compile_s = time.time() - t_compile
 
-    n_steps = args.steps
+    n_calls = max(args.steps // fused, 1)
+    n_steps = n_calls * fused
     t0 = time.time()
-    for _ in range(n_steps):
+    for _ in range(n_calls):
         state, loss = trainer.train_step(state)
     float(loss)
     dt = time.time() - t0

@@ -63,7 +63,8 @@ class GAT:
     def __init__(self, sampler_cfg: SamplerConfig, in_dim: int,
                  hidden_dim: int, num_classes: int,
                  heads: Sequence[int] = (8, 1), feat_drop: float = 0.6,
-                 attn_drop: float = 0.6, negative_slope: float = 0.2):
+                 attn_drop: float = 0.6, negative_slope: float = 0.2,
+                 in_dim_pad=None):
         self.cfg = sampler_cfg
         self.num_layers = sampler_cfg.num_hops
         assert len(heads) == self.num_layers
@@ -72,21 +73,27 @@ class GAT:
         self.attn_drop = attn_drop
         self.negative_slope = negative_slope
         self.S = static_cum_sizes(sampler_cfg)
+        self.in_dim = in_dim
+        self.in_dim_pad = in_dim_pad or in_dim
         # layer i: in = in_dim (i=0) else hidden*heads[i-1] (flattened);
         # out-per-head = hidden for mid layers, num_classes for the last
-        self.layer_in = [in_dim] + [hidden_dim * heads[i - 1]
-                                    for i in range(1, self.num_layers)]
+        self.layer_in = [self.in_dim_pad] + [hidden_dim * heads[i - 1]
+                                             for i in range(1,
+                                                            self.num_layers)]
         self.layer_out = [hidden_dim] * (self.num_layers - 1) + [num_classes]
 
     def init(self, key: jax.Array):
+        from legion_tpu.models.common import xavier_uniform_padded
         layers = []
         for i in range(self.num_layers):
             k1, k2, k3, key = jax.random.split(key, 4)
             d_in, d_out, H = self.layer_in[i], self.layer_out[i], \
                 self.heads[i]
+            logical = self.in_dim if i == 0 else d_in
             layers.append({
                 # DGL GATConv reset_parameters: xavier gain=sqrt(2)
-                "w": xavier_uniform(k1, (d_in, H, d_out), gain=2 ** 0.5),
+                "w": xavier_uniform_padded(k1, logical, d_in, (H, d_out),
+                                           gain=2 ** 0.5),
                 "attn_l": xavier_uniform(k2, (H, d_out), gain=2 ** 0.5),
                 "attn_r": xavier_uniform(k3, (H, d_out), gain=2 ** 0.5),
                 "b": jnp.zeros((H, d_out), jnp.float32),

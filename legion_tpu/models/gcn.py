@@ -70,7 +70,8 @@ def gcn_layer_apply(params, h_src: jax.Array, edge_src: jax.Array,
 
 class GCN:
     def __init__(self, sampler_cfg: SamplerConfig, in_dim: int,
-                 hidden_dim: int, num_classes: int, dropout: float = 0.5):
+                 hidden_dim: int, num_classes: int, dropout: float = 0.5,
+                 in_dim_pad=None):
         if sampler_cfg.aligned_hop_offset(sampler_cfg.num_hops - 1) \
                 is not None:
             import warnings
@@ -83,18 +84,23 @@ class GCN:
                 stacklevel=2)
         self.cfg = sampler_cfg
         self.num_layers = sampler_cfg.num_hops
-        self.dims = ([in_dim] + [hidden_dim] * (self.num_layers - 1)
-                     + [num_classes])
+        self.in_dim = in_dim
+        self.in_dim_pad = in_dim_pad or in_dim
+        self.dims = ([self.in_dim_pad] + [hidden_dim]
+                     * (self.num_layers - 1) + [num_classes])
         self.dropout_rate = dropout
         self.S = static_cum_sizes(sampler_cfg)
 
     def init(self, key: jax.Array):
+        from legion_tpu.models.common import xavier_uniform_padded
         layers = []
         for i in range(self.num_layers):
             k1, key = jax.random.split(key)
+            logical = self.in_dim if i == 0 else self.dims[i]
             # DGL GraphConv reset_parameters: xavier_uniform, zero bias
             layers.append({
-                "w": xavier_uniform(k1, (self.dims[i], self.dims[i + 1])),
+                "w": xavier_uniform_padded(k1, logical, self.dims[i],
+                                           (self.dims[i + 1],)),
                 "b": jnp.zeros((self.dims[i + 1],), jnp.float32),
             })
         return {"layers": layers}

@@ -23,27 +23,31 @@ from legion_tpu.sampling import SampleBatch
 
 class LinkPredSAGE:
     def __init__(self, sampler_cfg: SamplerConfig, in_dim: int,
-                 hidden_dim: int, dropout: float = 0.5):
+                 hidden_dim: int, dropout: float = 0.5, in_dim_pad=None):
         assert sampler_cfg.batch_size % 3 == 0, (
             "lp_sage batches are (anchor, pos, neg) thirds "
             "(lp_sage.py:86-97)")
         self.cfg = sampler_cfg
         self.num_layers = sampler_cfg.num_hops
-        self.dims = [in_dim] + [hidden_dim] * self.num_layers
+        self.in_dim = in_dim
+        self.in_dim_pad = in_dim_pad or in_dim
+        self.dims = [self.in_dim_pad] + [hidden_dim] * self.num_layers
         self.dropout_rate = dropout
         self.S = static_cum_sizes(sampler_cfg)
 
     def init(self, key: jax.Array):
+        from legion_tpu.models.common import xavier_uniform_padded
         layers = []
         for i in range(self.num_layers):
             k1, k2, key = jax.random.split(key, 3)
+            logical = self.in_dim if i == 0 else self.dims[i]
             layers.append({
-                "w_self": xavier_uniform(k1, (self.dims[i],
-                                              self.dims[i + 1]),
-                                         gain=2 ** 0.5),
-                "w_neigh": xavier_uniform(k2, (self.dims[i],
-                                               self.dims[i + 1]),
-                                          gain=2 ** 0.5),
+                "w_self": xavier_uniform_padded(k1, logical, self.dims[i],
+                                                (self.dims[i + 1],),
+                                                gain=2 ** 0.5),
+                "w_neigh": xavier_uniform_padded(k2, logical, self.dims[i],
+                                                 (self.dims[i + 1],),
+                                                 gain=2 ** 0.5),
                 "b": jnp.zeros((self.dims[i + 1],), jnp.float32),
             })
         return {"layers": layers}

@@ -176,9 +176,11 @@ class Trainer:
 
         # --- models (shapes follow the final sampler configs) ---
         self.model_t = make_model(config.train, self.sampler_t.config,
-                                  meta.feature_dim, meta.num_classes)
+                                  meta.feature_dim, meta.num_classes,
+                                  in_dim_pad=self.feat_pad)
         self.model_e = make_model(config.train, eval_scfg, meta.feature_dim,
-                                  meta.num_classes)
+                                  meta.num_classes,
+                                  in_dim_pad=self.feat_pad)
         self.tx = optax.adam(config.train.lr)
 
         self.is_lp = config.train.model == "lp_sage"
@@ -187,6 +189,9 @@ class Trainer:
                 scfg.eval_batch_size % 3 == 0, (
                     "lp_sage batches are (anchor, pos, neg) thirds "
                     "(lp_sage.py:86-97)")
+        if config.train.fused_steps > 1:
+            assert not self._staged_host and not config.train.interbatch, (
+                "fused_steps applies to the fused single-program path")
         if self._staged_host:
             self._build_staged_steps()
         else:
@@ -301,15 +306,29 @@ class Trainer:
                     else arr
             return arr
 
+        # lane-tile padding of the HBM feature table (pure-HBM residency
+        # only): rows start on 128-lane boundaries, putting the per-step
+        # row gather on the fast DMA path (TrainConfig.pad_feature_dim;
+        # measured 5.8 vs 8.3 ns/row at width 128 vs 100). Layer-0 weight
+        # pad rows are zero, so training math is unchanged.
+        F_log = meta.feature_dim
+        self.feat_pad = -(-F_log // 128) * 128 \
+            if config.train.pad_feature_dim and not cache_cfg.enabled \
+            else F_log
+
         if not cache_cfg.enabled:
             self.graph_access = base_access
             if device_ds:
-                self.feature_source = DeviceFeatureSource(
-                    put_row_major(_feat_cast(dev_feats)))
+                df = _feat_cast(dev_feats)
+                if self.feat_pad != F_log:
+                    df = jnp.pad(df, ((0, 0), (0, self.feat_pad - F_log)))
+                self.feature_source = DeviceFeatureSource(put_row_major(df))
             else:
                 import ml_dtypes
                 hf = host_feats if config.train.compute_dtype != "bfloat16" \
                     else host_feats.astype(ml_dtypes.bfloat16)
+                if self.feat_pad != F_log:
+                    hf = np.pad(hf, ((0, 0), (0, self.feat_pad - F_log)))
                 self.feature_source = DeviceFeatureSource(
                     put_row_major(hf, rep))
             return
@@ -650,17 +669,44 @@ class Trainer:
             self._prime = jax.jit(psm, donate_argnums=(0,))
             return jitted
 
+        fused = max(int(self.config.train.fused_steps), 1)
+
         def step(params, opt_state, pos_map, ctr, base_key, bank, access,
                  fsource, member_rows, topo_pairs, topo_blocks, ybank):
             pos_map, bank = pos_map[0], bank[0]
             if use_clique_topo:
                 access = access.bind_shard(topo_pairs[0], topo_blocks[0])
-            batch, x, feat_hits, pos_map = _sample_fetch(
-                access, bank, pos_map, ctr, base_key, fsource, member_rows)
-            params, opt_state, loss = _train_on(
-                params, opt_state, batch, x, ctr, base_key, bank, ybank[0])
-            edges, slots, th, tt = _counters(batch, access)
-            return params, opt_state, pos_map[None], ctr + 1, loss, \
+
+            def one(params, opt_state, pos_map, ctr):
+                batch, x, feat_hits, pos_map = _sample_fetch(
+                    access, bank, pos_map, ctr, base_key, fsource,
+                    member_rows)
+                params, opt_state, loss = _train_on(
+                    params, opt_state, batch, x, ctr, base_key, bank,
+                    ybank[0])
+                edges, slots, th, tt = _counters(batch, access)
+                return params, opt_state, pos_map, ctr + 1, loss, \
+                    feat_hits, edges, slots, th, tt
+
+            if fused == 1:
+                (params, opt_state, pos_map, ctr, loss, feat_hits, edges,
+                 slots, th, tt) = one(params, opt_state, pos_map, ctr)
+            else:
+                # K steps per dispatch (TrainConfig.fused_steps): identical
+                # math/RNG to K single-step calls — the loop only amortizes
+                # the per-dispatch host round-trip
+                def body(carry, _):
+                    p, o, pm, c = carry
+                    p, o, pm, c, loss, fh, ed, sl, th, tt = one(p, o, pm, c)
+                    return (p, o, pm, c), (loss, fh, ed, sl, th, tt)
+
+                (params, opt_state, pos_map, ctr), ys = jax.lax.scan(
+                    body, (params, opt_state, pos_map, ctr), None,
+                    length=fused)
+                loss = jnp.mean(ys[0])
+                feat_hits, edges, slots, th, tt = (
+                    jnp.sum(y, dtype=y.dtype) for y in ys[1:])
+            return params, opt_state, pos_map[None], ctr, loss, \
                 feat_hits, edges, slots, th, tt
 
         sm = _shard_map(
@@ -1204,11 +1250,17 @@ class Trainer:
         stats: List[EpochStats] = []
         self.epoch_metrics: List[StepMetrics] = []
         cache_on = self._use_clique or self.cache_plan is not None
+        fused = 1 if (self._staged_host or self.config.train.interbatch) \
+            else max(int(self.config.train.fused_steps), 1)
+        if fused > 1:
+            assert sch.train_step % fused == 0, (
+                f"fused_steps={fused} must divide the epoch's "
+                f"train_step={sch.train_step} for the exact schedule")
         for epoch in range(sch.epochs):
             t0 = time.time()
             losses, hits, edges, slots = [], [], [], []
             sm = StepMetrics(feat_dim=self.dataset.meta.feature_dim)
-            for _ in range(sch.train_step):
+            for _ in range(sch.train_step // fused):
                 state, loss = self.train_step(state)
                 losses.append(loss)
                 hits.append(self.last_feat_hits)
@@ -1223,7 +1275,7 @@ class Trainer:
                 tot = jnp.stack([jnp.stack(hits), jnp.stack(edges),
                                  jnp.stack(slots)]).sum(axis=1)
                 th, te, ts = (int(v) for v in np.asarray(tot))
-                sm.steps = len(losses)
+                sm.steps = len(losses) * fused
                 sm.edges, sm.feat_hits = te, th
                 sm.nodes = sm.feat_total = ts
                 if not cache_on:

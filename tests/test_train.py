@@ -103,3 +103,51 @@ def test_gcn_and_gat_train(small_dataset):
         state, stats = trainer.fit(verbose=False)
         assert np.isfinite(stats[-1].train_loss), model
         assert stats[-1].valid_acc > 0.4, (model, stats)
+
+
+def test_fused_steps_exact_equivalence(small_dataset):
+    """K steps fused into one program (TrainConfig.fused_steps) must
+    reproduce the 1-step path's parameter/RNG sequence exactly: after K
+    single steps and one fused-K call, losses and counters agree."""
+    import dataclasses
+    ds = small_dataset
+    cfg = _config(ds, n_dev=2, epochs=1)
+    cfg_f = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, fused_steps=3))
+    t0, t1 = Trainer(ds, cfg), Trainer(ds, cfg_f)
+    s0, s1 = t0.init_state(), t1.init_state()
+    losses = []
+    for _ in range(3):
+        s0, l0 = t0.train_step(s0)
+        losses.append(float(l0))
+    s1, l1 = t1.train_step(s1)
+    np.testing.assert_allclose(float(l1), np.mean(losses), rtol=1e-5,
+                               atol=1e-6)
+    assert int(s0["train_ctr"]) == int(s1["train_ctr"]) == 3
+    assert int(t1.last_edges) > 0
+    # params identical after the same 3 updates
+    p0 = jax.tree_util.tree_leaves(s0["params"])
+    p1 = jax.tree_util.tree_leaves(s1["params"])
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_pad_feature_dim_exact_equivalence(small_dataset):
+    """Lane-tile feature padding (TrainConfig.pad_feature_dim) must be
+    math-identical: pad columns are zero and layer-0 pad weight rows are
+    zero, so the loss sequence matches the unpadded model exactly."""
+    import dataclasses
+    ds = small_dataset
+    assert ds.meta.feature_dim % 128 != 0   # padding actually engages
+    cfg = _config(ds, n_dev=1, epochs=1)
+    cfg_np = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, pad_feature_dim=False))
+    t1, t0 = Trainer(ds, cfg), Trainer(ds, cfg_np)
+    assert t1.feat_pad == 128 and t0.feat_pad == ds.meta.feature_dim
+    s1, s0 = t1.init_state(), t0.init_state()
+    for _ in range(3):
+        s0, l0 = t0.train_step(s0)
+        s1, l1 = t1.train_step(s1)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5,
+                                   atol=1e-6)
