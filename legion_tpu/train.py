@@ -528,9 +528,13 @@ class Trainer:
                         ) -> Tuple[jax.Array, jax.Array]:
         """(hits, total) over the EXPANDED frontier prefix of the ids
         buffer — every vertex whose adjacency was read this batch (seeds +
-        hops 0..L-2 occupy ids[:cum_caps[L-1]]). Counts vertices resident
-        in the topology cache; request-overflow lanes are counted as hits
-        here (rare), so this is a (tight) upper bound."""
+        hops 0..L-2 occupy ids[:cum_caps[L-1]]). Counts vertices SERVED by
+        the topology cache: resident in row_map, minus clique
+        request-overflow lanes (round-3 review: counting overflow as hits
+        hid clique-cache pathology under skew). The overflow correction
+        replays the lookup's exact per-owner budget rule
+        (collective._bucket_by_owner: lanes past R_req per owner fall back
+        to the host path)."""
         sampler = sampler or self.sampler_t
         L = sampler.config.num_hops
         row_map = getattr(access, "row_map", None)
@@ -540,9 +544,28 @@ class Trainer:
         total = jnp.sum(pvalid, dtype=jnp.int32)
         if row_map is None:
             return total, total    # all HBM-resident
-        rm = jnp.where(
-            pvalid, row_map[jnp.clip(prefix, 0, row_map.shape[0] - 1)], -1)
-        return jnp.sum(rm >= 0, dtype=jnp.int32), total
+        V = row_map.shape[0]
+        rm = jnp.where(pvalid, row_map[jnp.clip(prefix, 0, V - 1)], -1)
+        hits = jnp.sum(rm >= 0, dtype=jnp.int32)
+        Kg = getattr(access, "Kg", 1)
+        slack = getattr(access, "slack", None)
+        if Kg > 1 and slack is not None:
+            # per-hop: count resident lanes per owning member; lanes
+            # beyond the fixed request budget R_req were NOT served
+            for k in range(L):
+                F_k = sampler.frontier_sizes[k]
+                R_req = int(-(-F_k * slack // Kg))
+                fr = jax.lax.dynamic_slice(
+                    batch.node_ids, (batch.hop_offsets[k],), (F_k,))
+                rmk = jnp.where(fr >= 0,
+                                row_map[jnp.clip(fr, 0, V - 1)], -1)
+                owner = jnp.where(rmk >= 0, rmk % Kg, Kg)
+                cnt = jnp.sum(owner[:, None] ==
+                              jnp.arange(Kg, dtype=jnp.int32)[None, :],
+                              axis=0, dtype=jnp.int32)
+                hits -= jnp.sum(jnp.maximum(cnt - R_req, 0),
+                                dtype=jnp.int32)
+        return hits, total
 
     def _build_train_step(self):
         sampler, model, tx = self.sampler_t, self.model_t, self.tx
@@ -843,7 +866,6 @@ class Trainer:
         # [A_{N+1}, B_N] while a worker thread host-gathers step N+1's rows
         self._gather_pool = ThreadPoolExecutor(max_workers=1)
         self._prefetch: Optional[Tuple] = None   # (ctr, outs, gather future)
-        self._last_ctr_obj = None                # resync detector
         self._staged_ctr = 0
         self._eval_steps = {
             Mode.VALID: self._make_staged_eval(Mode.VALID, "valid_ctr"),
@@ -941,7 +963,9 @@ class Trainer:
         """Same sizing rule for the eval sampler's miss buffer (round-1
         advisor: eval gathered the full max_ids-wide buffer per step).
         Probes BOTH the valid and test banks (round-2 advisor: the cap is
-        applied to test eval too) and takes the max."""
+        applied to test eval too) and takes the max. 64 probe batches per
+        bank (round-3 review: the earlier 8-batch probe at 1.5x headroom
+        under-sampled the miss distribution's tail)."""
         M = self.sampler_e.max_ids
         worst = 0
         key = jax.random.PRNGKey(self.config.train.seed + 1)
@@ -954,7 +978,7 @@ class Trainer:
                 np.full((self.n_dev, self.sampler_e.state_size),
                         np.iinfo(np.int32).max, np.int32),
                 NamedSharding(self.mesh, self._DP))
-            for i in range(min(max(n_steps, 1), 8)):
+            for i in range(min(max(n_steps, 1), 64)):
                 out = fn(pm, jnp.int32(i), key, bank, self.graph_access,
                          self._staged_lookup, self.member_rows,
                          self.topo_pairs, self.topo_blocks)
@@ -1149,10 +1173,13 @@ class Trainer:
             pass
 
     def _staged_train_step(self, state: Dict) -> Tuple[Dict, jax.Array]:
-        if state["train_ctr"] is not self._last_ctr_obj:
-            # fresh/restored state: resync the host ctr mirror and drop any
-            # stale lookahead (its pos_map chain stays valid — cleared maps
-            # are content-equivalent)
+        # VALUE-based resync (round-3 review): a state dict whose ctr value
+        # disagrees with the host mirror — restored checkpoint, replayed
+        # older state, reconstructed arrays — resyncs and drops any stale
+        # lookahead (its pos_map chain stays valid — cleared maps are
+        # content-equivalent). The int() sync is cheap here: the staged
+        # path already blocks on the host gather every step.
+        if int(state["train_ctr"]) != self._staged_ctr:
             self._staged_ctr = int(state["train_ctr"])
             if self._prefetch is not None and \
                     self._prefetch[0] != self._staged_ctr:
@@ -1174,7 +1201,6 @@ class Trainer:
             state["base_key"], batch, seeds, slot, m_pos, x_miss,
             self.train_ybank)
         self._staged_ctr = ctr_host + 1
-        self._last_ctr_obj = ctr
         self.last_feat_hits = hits
         self.last_edges = edges
         self.last_slots = hits + jnp.sum(n_miss)
