@@ -373,6 +373,23 @@ class CliqueTopoCache:
             miss_frontier, fanout, jax.random.fold_in(key, 3))
         return jnp.where(jnp.tile(served, fanout), nbr, nbr_miss)
 
+    # split-draw API (sampling.access.GraphAccess): host draws replicate
+    # the fallback path's exact RNG consumption
+    @property
+    def needs_host_draws(self) -> bool:
+        return getattr(self.fallback, "needs_host_draws", False)
+
+    def host_seed(self, key: jax.Array) -> jax.Array:
+        return self.fallback.host_seed(jax.random.fold_in(key, 3))
+
+    def host_draw(self, frontier, fanout: int, seed):
+        return self.fallback.host_draw(frontier, fanout, seed)
+
+    @staticmethod
+    def merge_draws(lanes, served, host_nbr, fanout: int):
+        return jnp.where(jnp.tile(served, fanout), lanes,
+                         host_nbr.T.reshape(-1))
+
 
 jax.tree_util.register_pytree_node_class(CliqueTopoCache)
 
@@ -398,6 +415,8 @@ class HostFallbackAccess:
     def tree_unflatten(cls, aux, children):
         return cls(aux[0].array, aux[1].array)
 
+    needs_host_draws = True
+
     def _host_draw(self, frontier: np.ndarray, fanout: int,
                    seed: np.ndarray) -> np.ndarray:
         from legion_tpu import native
@@ -405,10 +424,21 @@ class HostFallbackAccess:
             self.host_indptr, self.host_indices,
             np.asarray(frontier, np.int32), int(fanout), int(seed))
 
+    host_draw = _host_draw
+
+    def host_seed(self, key):
+        return jax.random.randint(jax.random.fold_in(key, 1), (), 0,
+                                  jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    def lookup(self, frontier, fanout, key):
+        """Nothing served on device: every valid slot is a host draw."""
+        F = frontier.shape[0]
+        return jnp.full((fanout * F,), -1, jnp.int32), \
+            jnp.zeros((F,), bool)
+
     def sample_neighbors(self, frontier, fanout, key):
         F = frontier.shape[0]
-        seed = jax.random.randint(jax.random.fold_in(key, 1), (), 0,
-                                  jnp.iinfo(jnp.int32).max, jnp.int32)
+        seed = self.host_seed(key)
         nbr = jax.pure_callback(
             lambda f, s: self._host_draw(f, fanout, s),
             jax.ShapeDtypeStruct((F, fanout), jnp.int32),

@@ -45,6 +45,43 @@ class GraphAccess:
         aggregation reshape tile-aligned (ops/hop_agg.py)."""
         raise NotImplementedError
 
+    # --- split-draw API (staged per-hop pipeline, train.py) ------------
+    # Runtimes without in-program host callbacks split each hop into a
+    # device program (lookup) + a host draw for the unserved slots +
+    # a merge in the next program. sample_neighbors(frontier, fanout,
+    # key) must equal merge_draws(lookup(...), host draws with
+    # host_seed(key)) EXACTLY — same RNG consumption — so the staged and
+    # callback paths stay loss-identical.
+
+    needs_host_draws: bool = False
+
+    def lookup(self, frontier: jax.Array, fanout: int, key: jax.Array
+               ) -> Tuple[jax.Array, jax.Array]:
+        """Device-only draws: (lanes [fanout*F] fanout-major, served [F]
+        bool). served[i] False => slot i's draws must come from the host
+        (with this access's host_seed/host_draw)."""
+        lanes = self.sample_neighbors(frontier, fanout, key)
+        return lanes, frontier >= 0
+
+    def host_seed(self, key: jax.Array) -> jax.Array:
+        """The int32 seed the in-program callback path would hand the
+        host sampler for this hop's key (traced; computed in-program)."""
+        raise NotImplementedError
+
+    def host_draw(self, frontier: np.ndarray, fanout: int,
+                  seed: int) -> np.ndarray:
+        """Host-side draws [F, fanout] for the (-1-masked) miss frontier;
+        must be the exact function the callback path invokes."""
+        raise NotImplementedError
+
+    @staticmethod
+    def merge_draws(lanes: jax.Array, served: jax.Array,
+                    host_nbr: jax.Array, fanout: int) -> jax.Array:
+        """Combine device lanes with host draws ([F, fanout]) exactly as
+        the callback path's jnp.where does."""
+        return jnp.where(jnp.tile(served, fanout), lanes,
+                         host_nbr.T.reshape(-1))
+
 
 class _HostRef:
     """Identity-hashed holder so host numpy arrays can ride in pytree aux
@@ -224,6 +261,8 @@ class CachedTopoAccess(GraphAccess):
         return cls(children[0], children[1], children[2], aux[0].array,
                    aux[1].array)
 
+    needs_host_draws = True
+
     def _host_draw(self, frontier: np.ndarray, fanout: int,
                    seed: np.ndarray) -> np.ndarray:
         from legion_tpu import native
@@ -231,13 +270,20 @@ class CachedTopoAccess(GraphAccess):
             self.host_indptr, self.host_indices,
             np.asarray(frontier, np.int32), int(fanout), int(seed))
 
-    def sample_neighbors(self, frontier, fanout, key):
+    host_draw = _host_draw
+
+    def host_seed(self, key):
+        return jax.random.randint(jax.random.fold_in(key, 1), (), 0,
+                                  jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    def lookup(self, frontier, fanout, key):
+        """Device draws from the hot sub-CSR; served = cache-resident
+        rows (deg-0 resident rows produce -1 lanes but need no host
+        draw)."""
         F = frontier.shape[0]
         fvalid = frontier >= 0
         row = _gather(self.row_map, frontier, fvalid, -1)
         hit = row >= 0
-
-        # cached branch (fanout-major lanes)
         rowc = jnp.clip(row, 0, self.sub_indptr.shape[0] - 2)
         rs = self.sub_indptr[rowc]
         re = self.sub_indptr[rowc + 1]
@@ -247,16 +293,18 @@ class CachedTopoAccess(GraphAccess):
                                dtype=jnp.int32)
         nbr_pos = rs[None, :] + r.astype(rs.dtype)
         nbr_hit = _gather(self.sub_indices, nbr_pos.reshape(-1),
-                          jnp.tile(deg > 0, fanout), -1
-                          ).reshape(fanout, F)
+                          jnp.tile(deg > 0, fanout), -1)
+        return nbr_hit, hit
+
+    def sample_neighbors(self, frontier, fanout, key):
+        F = frontier.shape[0]
+        lanes, hit = self.lookup(frontier, fanout, key)
 
         # host branch: one batched callback for the misses
         miss_frontier = jnp.where(hit, -1, frontier)
-        seed = jax.random.randint(jax.random.fold_in(key, 1), (), 0,
-                                  jnp.iinfo(jnp.int32).max, jnp.int32)
+        seed = self.host_seed(key)
         nbr_miss = jax.pure_callback(
             lambda f, s: self._host_draw(f, fanout, s),
             jax.ShapeDtypeStruct((F, fanout), jnp.int32),
             miss_frontier, seed, vmap_method="sequential")
-        nbr = jnp.where(hit[None, :], nbr_hit, nbr_miss.T)
-        return nbr.reshape(-1)
+        return self.merge_draws(lanes, hit, nbr_miss, fanout)

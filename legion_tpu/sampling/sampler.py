@@ -292,6 +292,105 @@ class NeighborSampler:
         ids = jax.lax.dynamic_update_slice(ids, new_block, (cum,))
         return src_l, n_new, ids
 
+    # -- per-hop carry pieces: the staged trainer splits sampling into one
+    # device program per hop (host neighbor draws between programs when
+    # topology is host-resident, the reference's UVA branch
+    # operator_impl.cu:224-243); the fused path composes the same pieces
+    # in one program, so both paths share one hop-body implementation. --
+
+    def begin(self, seeds: jax.Array, pos_map: jax.Array) -> dict:
+        """Register seeds and build the hop-loop carry (batch_generate,
+        operator_impl.cu:27-55)."""
+        cfg = self.config
+        V = self.num_nodes
+        batch_size = cfg.batch_size
+        assert seeds.shape == (batch_size,), (seeds.shape, batch_size)
+        seeds = seeds.astype(jnp.int32)
+        ids = jnp.full((self.ids_len,), -1, dtype=jnp.int32)
+        ids = ids.at[:batch_size].set(seeds)
+        seed_valid = seeds >= 0
+        n_seeds = jnp.sum(seed_valid, dtype=jnp.int32)
+        # sort-dedup needs no seed state — the ids prefix itself is the
+        # membership structure
+        if not self.sort_dedup:
+            seed_scatter = jnp.where(seed_valid, seeds, V)
+            pos_map = pos_map.at[seed_scatter].set(
+                jnp.arange(batch_size, dtype=jnp.int32), mode="drop")
+        return dict(ids=ids, pos_map=pos_map, cum=n_seeds,
+                    frontier_off=jnp.int32(0), num_nodes=(n_seeds,),
+                    num_edges=(), edge_src=(), edge_dst=(),
+                    hop_offsets=())
+
+    def hop_frontier(self, carry: dict, k: int) -> jax.Array:
+        return jax.lax.dynamic_slice(
+            carry["ids"], (carry["frontier_off"],),
+            (self.frontier_sizes[k],))
+
+    def hop_absorb(self, carry: dict, k: int, cand: jax.Array) -> dict:
+        """Dedup hop k's candidate draws and record its edge lists
+        (random_sample dedup + construct_graph + counter_update)."""
+        V = self.num_nodes
+        F_k = self.frontier_sizes[k]
+        E_k = self.edge_sizes[k]
+        L = self.config.num_hops
+        ids, pos_map = carry["ids"], carry["pos_map"]
+        cum, frontier_off = carry["cum"], carry["frontier_off"]
+        e_valid = cand >= 0
+
+        if self.aligned_last and k == L - 1:
+            # lane-aligned last hop: no dedup, position = P_last + lane
+            # (see SamplerConfig.dedup_last_hop for the cost argument).
+            # num_nodes[-1] counts VALID slots; the filled region is
+            # the static window [P_last, P_last + E_k).
+            P_last = self.cum_caps[k]
+            ids = jax.lax.dynamic_update_slice(ids, cand, (P_last,))
+            src_l = jnp.where(
+                e_valid, P_last + jnp.arange(E_k, dtype=jnp.int32), -1)
+            n_new = jnp.sum(e_valid, dtype=jnp.int32)
+        elif self.sort_dedup:
+            src_l, n_new, ids = self._dedup_sort(
+                cand, e_valid, cum, ids, k)
+        else:
+            src_l, n_new, ids, pos_map = self._dedup_map(
+                cand, e_valid, cum, ids, pos_map, k, V)
+
+        # --- construct_graph: local indices. dst falls out of the
+        # structured FANOUT-MAJOR layout: lane f*F_k + i is draw f of
+        # frontier row i at position frontier_off + i ---
+        e_ok = src_l >= 0
+        lane = jnp.arange(E_k, dtype=jnp.int32)
+        dst_l = jnp.where(e_ok, frontier_off + lane % F_k, -1)
+        return dict(
+            ids=ids, pos_map=pos_map, cum=cum + n_new, frontier_off=cum,
+            num_nodes=carry["num_nodes"] + (cum + n_new,),
+            num_edges=carry["num_edges"]
+            + (jnp.sum(e_ok, dtype=jnp.int32),),
+            edge_src=carry["edge_src"] + (src_l,),
+            edge_dst=carry["edge_dst"] + (dst_l,),
+            hop_offsets=carry["hop_offsets"] + (frontier_off,))
+
+    def finish(self, carry: dict) -> Tuple[SampleBatch, jax.Array]:
+        """ClearPosMap + assemble the SampleBatch."""
+        L = self.config.num_hops
+        ids, pos_map = carry["ids"], carry["pos_map"]
+        if not self.sort_dedup:
+            # ClearPosMap: reset only touched entries (an aligned last hop
+            # never touches the position map, so skip its lanes)
+            touched = ids if not self.aligned_last else \
+                jax.lax.slice(ids, (0,), (self.cum_caps[L - 1],))
+            pos_map = pos_map.at[jnp.where(touched >= 0, touched,
+                                           self.num_nodes)].set(
+                INT32_MAX, mode="drop")
+        batch = SampleBatch(
+            node_ids=ids,
+            num_nodes=jnp.stack(carry["num_nodes"]),
+            edge_src=carry["edge_src"],
+            edge_dst=carry["edge_dst"],
+            num_edges=jnp.stack(carry["num_edges"]),
+            hop_offsets=jnp.stack(carry["hop_offsets"]),
+        )
+        return batch, pos_map
+
     def _sample_impl(self, csr: DeviceCSR, seeds: jax.Array,
                      pos_map: jax.Array, key: jax.Array, with_hotness: bool,
                      node_access: Optional[jax.Array] = None,
@@ -302,99 +401,25 @@ class NeighborSampler:
         else:
             access = csr
 
-        cfg = self.config
         V = self.num_nodes
-        batch_size = cfg.batch_size
-        assert seeds.shape == (batch_size,), (seeds.shape, batch_size)
-        seeds = seeds.astype(jnp.int32)
-        L = cfg.num_hops
-
-        ids = jnp.full((self.ids_len,), -1, dtype=jnp.int32)
-        ids = ids.at[:batch_size].set(seeds)
-
-        seed_valid = seeds >= 0
-        n_seeds = jnp.sum(seed_valid, dtype=jnp.int32)
-        # register seeds (batch_generate :27-55); sort-dedup needs no seed
-        # state — the ids prefix itself is the membership structure
-        if not self.sort_dedup:
-            seed_scatter = jnp.where(seed_valid, seeds, V)
-            pos_map = pos_map.at[seed_scatter].set(
-                jnp.arange(batch_size, dtype=jnp.int32), mode="drop")
-
-        cum = n_seeds
-        frontier_off = jnp.int32(0)
-        num_nodes = [n_seeds]
-        num_edges = []
-        edge_src_l, edge_dst_l = [], []
-        hop_offsets = []
-
+        L = self.config.num_hops
+        carry = self.begin(seeds, pos_map)
         for k in range(L):
-            F_k = self.frontier_sizes[k]
-            E_k = self.edge_sizes[k]
-            fanout = cfg.fanouts[k]
-            frontier = jax.lax.dynamic_slice(ids, (frontier_off,), (F_k,))
-            fvalid = frontier >= 0
-            hop_offsets.append(frontier_off)
-
+            frontier = self.hop_frontier(carry, k)
             if with_hotness:
                 # adjacency-read hotness for expanded frontier nodes
                 edge_access = edge_access.at[
-                    jnp.where(fvalid, frontier, V)].add(1, mode="drop")
-
+                    jnp.where(frontier >= 0, frontier, V)].add(
+                    1, mode="drop")
             hop_key = jax.random.fold_in(key, k)
-            cand = access.sample_neighbors(frontier, fanout, hop_key)
+            cand = access.sample_neighbors(frontier, self.config.fanouts[k],
+                                           hop_key)
             # cand: [E_k] global ids, -1 where frontier pad / deg 0
-            e_valid = cand >= 0
-
-            if self.aligned_last and k == L - 1:
-                # lane-aligned last hop: no dedup, position = P_last + lane
-                # (see SamplerConfig.dedup_last_hop for the cost argument).
-                # num_nodes[-1] counts VALID slots; the filled region is
-                # the static window [P_last, P_last + E_k).
-                P_last = self.cum_caps[k]
-                ids = jax.lax.dynamic_update_slice(ids, cand, (P_last,))
-                src_l = jnp.where(
-                    e_valid, P_last + jnp.arange(E_k, dtype=jnp.int32), -1)
-                n_new = jnp.sum(e_valid, dtype=jnp.int32)
-            elif self.sort_dedup:
-                src_l, n_new, ids = self._dedup_sort(
-                    cand, e_valid, cum, ids, k)
-            else:
-                src_l, n_new, ids, pos_map = self._dedup_map(
-                    cand, e_valid, cum, ids, pos_map, k, V)
-
-            # --- construct_graph: local indices. dst falls out of the
-            # structured FANOUT-MAJOR layout: lane f*F_k + i is draw f of
-            # frontier row i at position frontier_off + i ---
-            e_ok = src_l >= 0
-            lane = jnp.arange(E_k, dtype=jnp.int32)
-            dst_l = jnp.where(e_ok, frontier_off + lane % F_k, -1)
-            edge_src_l.append(src_l)
-            edge_dst_l.append(dst_l)
-            num_edges.append(jnp.sum(e_ok, dtype=jnp.int32))
-
-            frontier_off = cum
-            cum = cum + n_new
-            num_nodes.append(cum)
+            carry = self.hop_absorb(carry, k, cand)
 
         if with_hotness:
             node_access = node_access.at[
-                jnp.where(ids >= 0, ids, V)].add(1, mode="drop")
-
-        if not self.sort_dedup:
-            # ClearPosMap: reset only touched entries (an aligned last hop
-            # never touches the position map, so skip its lanes)
-            touched = ids if not self.aligned_last else \
-                jax.lax.slice(ids, (0,), (self.cum_caps[L - 1],))
-            pos_map = pos_map.at[jnp.where(touched >= 0, touched, V)].set(
-                INT32_MAX, mode="drop")
-
-        batch = SampleBatch(
-            node_ids=ids,
-            num_nodes=jnp.stack(num_nodes),
-            edge_src=tuple(edge_src_l),
-            edge_dst=tuple(edge_dst_l),
-            num_edges=jnp.stack(num_edges),
-            hop_offsets=jnp.stack(hop_offsets),
-        )
+                jnp.where(carry["ids"] >= 0, carry["ids"], V)].add(
+                1, mode="drop")
+        batch, pos_map = self.finish(carry)
         return batch, pos_map, node_access, edge_access

@@ -466,11 +466,9 @@ class Trainer:
             if transfer == "staged":
                 # miss rows cross host->device between program A and B;
                 # the clique collective serves hits INSIDE program A (no
-                # callbacks anywhere) — the multi-chip Legion scenario
-                assert not topo_host, (
-                    "staged transfer with multi-device HOST topology "
-                    "needs per-hop program splits (not yet wired); use "
-                    "host_transfer='callback' or topo_residency='hbm'")
+                # callbacks anywhere) — the multi-chip Legion scenario.
+                # With HOST topology the sample program additionally
+                # splits per hop (_make_staged_sample_chain).
                 self._staged_host = True
                 self._cache = None
                 self._host_feats = np.ascontiguousarray(
@@ -872,15 +870,54 @@ class Trainer:
             Mode.TEST: self._make_staged_eval(Mode.TEST, "test_ctr"),
         }
 
+    def _staged_feature_tail(self, sampler, batch, access_b, lookup,
+                             member_rows):
+        """Shared tail of program A: feature cache lookup + miss
+        compaction + per-step counters (runs per device inside
+        shard_map). Returns the staged sample's per-device outputs."""
+        M = sampler.max_ids
+        imax = jnp.iinfo(jnp.int32).max
+        nid = jax.lax.slice(batch.node_ids, (0,), (M,))
+        if self._staged_clique:
+            rows, hit = lookup.fetch_cached(nid, member_rows[0])
+            payload = rows
+            miss = (nid >= 0) & ~hit
+            hits = jnp.sum(hit, dtype=jnp.int32)
+        else:
+            slot = jnp.where(
+                nid >= 0,
+                lookup[jnp.clip(nid, 0, lookup.shape[0] - 1)], -1)
+            payload = slot
+            miss = (nid >= 0) & (slot < 0)
+            hits = jnp.sum(slot >= 0, dtype=jnp.int32)
+        lane = jnp.arange(M, dtype=jnp.int32)
+        mkey = jnp.where(miss, lane, imax)
+        sk, m_ids, m_pos = jax.lax.sort((mkey, nid, lane), dimension=0,
+                                        num_keys=1)
+        mvalid = sk != imax
+        m_ids = jnp.where(mvalid, m_ids, -1)
+        m_pos = jnp.where(mvalid, m_pos, -1)
+        n_miss = jnp.sum(miss, dtype=jnp.int32)
+        edges = jnp.sum(batch.num_edges, dtype=jnp.int32)
+        topo_hits, topo_total = self._topo_hit_count(batch, access_b,
+                                                     sampler)
+        return (batch, payload, m_ids, m_pos, n_miss, hits, edges,
+                topo_hits, topo_total)
+
     def _make_staged_sample(self, sampler, n_steps: int, bs: int, tag: int):
         """Program A, shard_map'd over the mesh: sample + cache lookup +
         miss compaction on every device. The cache lookup is the direct
         slot-table gather (single device / UnifiedCache) or the clique
         collective (CliqueFeatureCache.fetch_cached — requests ride ICI,
         NO callbacks). Per-device miss ids come back to the host for the
-        staged gather."""
-        M = sampler.max_ids
-        imax = jnp.iinfo(jnp.int32).max
+        staged gather.
+
+        When topology is host-resident (graph_access.needs_host_draws),
+        sampling itself needs host neighbor draws; the single program is
+        replaced by the per-hop chain (_make_staged_sample_chain)."""
+        if getattr(self.graph_access, "needs_host_draws", False):
+            return self._make_staged_sample_chain(sampler, n_steps, bs,
+                                                  tag)
         clique = self._staged_clique
         use_clique_topo = self._use_clique_topo
 
@@ -895,30 +932,9 @@ class Trainer:
             seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
             k = self._device_key(base_key, ctr, tag)
             batch, pos_map = sampler.sample_fn(access_b, seeds, pos_map, k)
-            nid = jax.lax.slice(batch.node_ids, (0,), (M,))
-            if clique:
-                rows, hit = lookup.fetch_cached(nid, member_rows[0])
-                payload = rows
-                miss = (nid >= 0) & ~hit
-                hits = jnp.sum(hit, dtype=jnp.int32)
-            else:
-                slot = jnp.where(
-                    nid >= 0,
-                    lookup[jnp.clip(nid, 0, lookup.shape[0] - 1)], -1)
-                payload = slot
-                miss = (nid >= 0) & (slot < 0)
-                hits = jnp.sum(slot >= 0, dtype=jnp.int32)
-            lane = jnp.arange(M, dtype=jnp.int32)
-            mkey = jnp.where(miss, lane, imax)
-            sk, m_ids, m_pos = jax.lax.sort((mkey, nid, lane), dimension=0,
-                                            num_keys=1)
-            mvalid = sk != imax
-            m_ids = jnp.where(mvalid, m_ids, -1)
-            m_pos = jnp.where(mvalid, m_pos, -1)
-            n_miss = jnp.sum(miss, dtype=jnp.int32)
-            edges = jnp.sum(batch.num_edges, dtype=jnp.int32)
-            topo_hits, topo_total = self._topo_hit_count(batch, access_b,
-                                                         sampler)
+            (batch, payload, m_ids, m_pos, n_miss, hits, edges,
+             topo_hits, topo_total) = self._staged_feature_tail(
+                sampler, batch, access_b, lookup, member_rows)
             batch = jax.tree.map(lambda a: a[None], batch)
             return (batch, pos_map[None], seeds[None], payload[None],
                     m_ids[None], m_pos[None], n_miss[None],
@@ -936,6 +952,134 @@ class Trainer:
                       tp_spec),
             out_specs=(DP, DP, DP, DP, DP, DP, DP, P(), P(), P(), P()))
         return jax.jit(sm, donate_argnums=(0,))
+
+    def _make_staged_sample_chain(self, sampler, n_steps: int, bs: int,
+                                  tag: int):
+        """Per-hop program splits for HOST-resident topology under staged
+        transfer — the configuration of a real multi-chip billion-edge
+        run where neither topology nor features fit HBM. The reference
+        serves these reads inside its kernels over zero-copy UVA
+        (operator_impl.cu:224-243); without in-program callbacks the
+        sample becomes a chain:
+
+          A_0: seeds + hop-0 device draws (clique topo collective / hot
+               sub-CSR) + compacted miss frontier        [device]
+          host neighbor draws for hop-0 misses           [C++ sampler]
+          A_k: merge hop k-1 draws, dedup, hop-k device draws + misses
+          ...
+          A_L: merge last draws, finish batch, feature cache lookup +
+               miss compaction                           [device]
+
+        RNG consumption matches the callback path op-for-op (the same
+        host_seed the callback would pass), so chain and callback runs
+        are loss-identical (tests/test_staged_host.py). Returns a
+        blocking callable with the one-program sample's signature."""
+        L = sampler.config.num_hops
+        fanouts = sampler.config.fanouts
+        clique = self._staged_clique
+        use_clique_topo = self._use_clique_topo
+        mr_spec = P("member", None, None) if clique else P()
+        tp_spec = P("member", None, None) if use_clique_topo else P()
+        DP, DPN = self._DP, self._DPN
+        dp1 = lambda t: jax.tree.map(lambda a: a[None], t)
+
+        def _bind(access, topo_pairs, topo_blocks):
+            if use_clique_topo:
+                return access.bind_shard(topo_pairs[0], topo_blocks[0])
+            return access
+
+        def _hop_out(access_b, carry, k, ctr, base_key):
+            frontier = sampler.hop_frontier(carry, k)
+            hop_key = jax.random.fold_in(
+                self._device_key(base_key, ctr, tag), k)
+            lanes, served = access_b.lookup(frontier, fanouts[k], hop_key)
+            miss_f = jnp.where(served, -1, frontier)
+            return (dp1(carry), lanes[None], served[None], miss_f[None],
+                    access_b.host_seed(hop_key)[None])
+
+        def p0(pos_map, ctr, base_key, bank, access, topo_pairs,
+               topo_blocks):
+            pos_map, bank = pos_map[0], bank[0]
+            access_b = _bind(access, topo_pairs, topo_blocks)
+            lid = ctr % n_steps
+            seeds = jax.lax.dynamic_slice(bank, (lid * bs,), (bs,))
+            carry = sampler.begin(seeds, pos_map)
+            return _hop_out(access_b, carry, 0, ctr, base_key) \
+                + (seeds[None],)
+
+        p0_j = jax.jit(_shard_map(
+            p0, self.mesh,
+            in_specs=(DP, P(), P(), DPN, P(), tp_spec, tp_spec),
+            out_specs=(DP, DP, DP, DP, DP, DP)), donate_argnums=(0,))
+
+        def pk(k):
+            def body(carry, lanes, served, host_nbr, ctr, base_key,
+                     access, topo_pairs, topo_blocks):
+                carry = jax.tree.map(lambda a: a[0], carry)
+                access_b = _bind(access, topo_pairs, topo_blocks)
+                cand = access_b.merge_draws(lanes[0], served[0],
+                                            host_nbr[0], fanouts[k - 1])
+                carry = sampler.hop_absorb(carry, k - 1, cand)
+                return _hop_out(access_b, carry, k, ctr, base_key)
+
+            return jax.jit(_shard_map(
+                body, self.mesh,
+                in_specs=(DP, DP, DP, DP, P(), P(), P(), tp_spec,
+                          tp_spec),
+                out_specs=(DP, DP, DP, DP, DP)), donate_argnums=(0,))
+
+        pk_j = [pk(k) for k in range(1, L)]
+
+        def pl(carry, lanes, served, host_nbr, seeds, access, lookup,
+               member_rows, topo_pairs, topo_blocks):
+            carry = jax.tree.map(lambda a: a[0], carry)
+            access_b = _bind(access, topo_pairs, topo_blocks)
+            cand = access_b.merge_draws(lanes[0], served[0], host_nbr[0],
+                                        fanouts[L - 1])
+            carry = sampler.hop_absorb(carry, L - 1, cand)
+            batch, pos_map = sampler.finish(carry)
+            (batch, payload, m_ids, m_pos, n_miss, hits, edges,
+             topo_hits, topo_total) = self._staged_feature_tail(
+                sampler, batch, access_b, lookup, member_rows)
+            batch = jax.tree.map(lambda a: a[None], batch)
+            return (batch, pos_map[None], seeds, payload[None],
+                    m_ids[None], m_pos[None], n_miss[None],
+                    jax.lax.psum(hits, self.axes),
+                    jax.lax.psum(edges, self.axes),
+                    jax.lax.psum(topo_hits, self.axes),
+                    jax.lax.psum(topo_total, self.axes))
+
+        pl_j = jax.jit(_shard_map(
+            pl, self.mesh,
+            in_specs=(DP, DP, DP, DP, DP, P(), P(), mr_spec, tp_spec,
+                      tp_spec),
+            out_specs=(DP, DP, DP, DP, DP, DP, DP, P(), P(), P(), P())),
+            donate_argnums=(0,))
+
+        def host_draws(miss_f, hseed, fanout: int) -> jax.Array:
+            mf = np.asarray(miss_f)                 # [n_dev, F_k]
+            sd = np.asarray(hseed)                  # [n_dev]
+            out = np.stack([
+                self.graph_access.host_draw(mf[d], fanout, int(sd[d]))
+                for d in range(self.n_dev)])        # [n_dev, F_k, fo]
+            return jax.device_put(
+                out, NamedSharding(self.mesh, P(self.axes, None, None)))
+
+        def chain(pos_map, ctr, base_key, bank, access, lookup,
+                  member_rows, topo_pairs, topo_blocks):
+            carry, lanes, served, miss_f, hseed, seeds = p0_j(
+                pos_map, ctr, base_key, bank, access, topo_pairs,
+                topo_blocks)
+            for k in range(1, L):
+                nbr = host_draws(miss_f, hseed, fanouts[k - 1])
+                carry, lanes, served, miss_f, hseed = pk_j[k - 1](
+                    carry, lanes, served, nbr, ctr, base_key, access,
+                    topo_pairs, topo_blocks)
+            nbr = host_draws(miss_f, hseed, fanouts[L - 1])
+            return pl_j(carry, lanes, served, nbr, seeds, access, lookup,
+                        member_rows, topo_pairs, topo_blocks)
+
+        return chain
 
     def _probe_miss_cap(self) -> int:
         """Measure worst-case cache misses over (up to) a full epoch of

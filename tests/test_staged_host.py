@@ -118,6 +118,63 @@ def test_staged_multidev_matches_callback(small_dataset):
     assert abs(acc_cb - acc_st) < 1e-6, (acc_cb, acc_st)
 
 
+def _cfg_host_topo(ds, transfer, n_dev=4):
+    return LegionConfig(
+        dataset=ds.meta,
+        sampler=SamplerConfig(fanouts=(5, 3), batch_size=16,
+                              eval_batch_size=32, dedup="sort",
+                              neighbor_window=8),
+        cache=CacheConfig(cache_bytes=200_000, feature_residency="host",
+                          topo_residency="host", presample_steps=2,
+                          host_transfer=transfer),
+        train=TrainConfig(model="graphsage", hidden_dim=16, epochs=1,
+                          seed=3, compute_dtype="float32"),
+        mesh=MeshConfig.for_devices(n_dev, clique_size=n_dev),
+    )
+
+
+def test_staged_multidev_host_topology_matches_callback(small_dataset):
+    """The real multi-chip billion-edge configuration: neither topology
+    nor features fit HBM (topo_residency=host, feature_residency=host),
+    Kg=4 clique caches for both, staged transfer. The sample runs as a
+    per-hop program chain with C++ host neighbor draws between programs
+    (the reference's UVA miss branch, operator_impl.cu:224-243) and must
+    be loss-identical to the callback path."""
+    ds = small_dataset
+    t_cb = Trainer(ds, _cfg_host_topo(ds, "callback"))
+    t_st = Trainer(ds, _cfg_host_topo(ds, "staged"))
+    assert not t_cb._staged_host and t_st._staged_host
+    assert t_st._use_clique and t_st._use_clique_topo
+    assert t_st.graph_access.needs_host_draws
+    s_cb = t_cb.init_state()
+    s_st = t_st.init_state()
+    for _ in range(3):
+        s_cb, l_cb = t_cb.train_step(s_cb)
+        s_st, l_st = t_st.train_step(s_st)
+        np.testing.assert_allclose(float(l_cb), float(l_st), rtol=1e-5,
+                                   atol=1e-6)
+    assert int(t_st.last_topo_total) > 0
+    s_cb, acc_cb = t_cb.run_eval(s_cb, Mode.VALID)
+    s_st, acc_st = t_st.run_eval(s_st, Mode.VALID)
+    assert abs(acc_cb - acc_st) < 1e-6, (acc_cb, acc_st)
+
+
+def test_staged_singledev_host_topology_matches_callback(small_dataset):
+    """Single-device staged with host topology: the hot sub-CSR serves
+    hits in-program, host draws cross between the per-hop programs."""
+    ds = small_dataset
+    t_cb = Trainer(ds, _cfg_host_topo(ds, "callback", n_dev=1))
+    t_st = Trainer(ds, _cfg_host_topo(ds, "staged", n_dev=1))
+    assert t_st._staged_host and t_st.graph_access.needs_host_draws
+    s_cb = t_cb.init_state()
+    s_st = t_st.init_state()
+    for _ in range(2):
+        s_cb, l_cb = t_cb.train_step(s_cb)
+        s_st, l_st = t_st.train_step(s_st)
+        np.testing.assert_allclose(float(l_cb), float(l_st), rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_staged_prefetch_pipeline_chains(trainers):
     """The one-step sample lookahead must produce the same losses when an
     eval pass interrupts the train chain (prefetch survives or resyncs)."""
