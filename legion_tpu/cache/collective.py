@@ -35,12 +35,15 @@ import numpy as np
 
 def build_clique_cache(feature_order: np.ndarray, group_capacity: int,
                        host_features: np.ndarray, group_size: int,
-                       feat_dtype: str = "float32"
-                       ) -> Tuple[np.ndarray, np.ndarray, int]:
+                       feat_dtype: str = "float32",
+                       map_impl: str = "direct"):
     """Host-side FillUp (cache.cu:553-611).
 
-    Returns (slot_map [V] int32 with GLOBAL slot ids or -1,
-             member_rows [Kg, R, F] in feat_dtype, R).
+    Returns (slot_map, member_rows [Kg, R, F] in feat_dtype, R) where
+    slot_map maps id -> GLOBAL slot (-1 absent): a [V] int32 numpy table
+    (map_impl="direct") or a HashMap32 (~32B per CACHED vertex
+    regardless of V — billion-vertex safe; the BGHT role,
+    cache.cu:71-88).
     Global slot i (i-th hottest cached vertex) lives on member i % Kg at
     local row i // Kg. feat_dtype="bfloat16" halves shard bytes (2x rows
     per budget; pair with plan_cache(bytes_per_feat=2)).
@@ -51,8 +54,12 @@ def build_clique_cache(feature_order: np.ndarray, group_capacity: int,
     C = (group_capacity // Kg) * Kg  # whole rows per member
     R = max(C // Kg, 1)
     hot = np.asarray(feature_order[:C], np.int32)
-    slot_map = np.full(V, -1, np.int32)
-    slot_map[hot] = np.arange(C, dtype=np.int32)
+    if map_impl == "hash":
+        from legion_tpu.cache.hashmap import HashMap32
+        slot_map = HashMap32.build(hot, np.arange(C, dtype=np.int32))
+    else:
+        slot_map = np.full(V, -1, np.int32)
+        slot_map[hot] = np.arange(C, dtype=np.int32)
     if feat_dtype == "bfloat16":
         import ml_dtypes
         npdt = ml_dtypes.bfloat16
@@ -107,10 +114,11 @@ def _exchange(x: jax.Array, axis: str) -> jax.Array:
 class CliqueFeatureCache:
     """Collective feature fetch over the member axis (call in shard_map)."""
 
-    def __init__(self, slot_map: jax.Array, host_features: np.ndarray,
+    def __init__(self, slot_map, host_features: np.ndarray,
                  group_size: int, capacity_per_member: int,
                  axis_name: str = "member", request_slack: float = 1.5):
-        self.slot_map = slot_map          # [V] int32, global slots
+        # id -> global slot: [V] int32 table or HashMap32 (both pytrees)
+        self.slot_map = slot_map
         self.host = host_features         # np [V, F]
         self.Kg = group_size
         self.R = capacity_per_member
@@ -141,13 +149,12 @@ class CliqueFeatureCache:
         collective_hit [N] bool). No host traffic — the caller owns the
         miss path (pure_callback in `fetch`, or the trainer's staged host
         gather)."""
+        from legion_tpu.cache.hashmap import map_lookup
         N = ids.shape[0]
         Kg, R, F = self.Kg, self.R, self.feat_dim
         R_req = int(-(-N * self.slack // Kg))
-        V = self.slot_map.shape[0]
 
-        slot = jnp.where(ids >= 0,
-                         self.slot_map[jnp.clip(ids, 0, V - 1)], -1)
+        slot = map_lookup(self.slot_map, ids)
         hit = slot >= 0
         owner = jnp.where(hit, slot % Kg, Kg)          # misses -> bucket Kg
         local = jnp.where(hit, slot // Kg, 0)
@@ -198,7 +205,8 @@ jax.tree_util.register_pytree_node_class(CliqueFeatureCache)
 
 def build_clique_topo(topo_order: np.ndarray, group_capacity: int,
                       host_indptr: np.ndarray, host_indices: np.ndarray,
-                      group_size: int, window: int = 64):
+                      group_size: int, window: int = 64,
+                      map_impl: str = "direct"):
     """Host-side topology FillUp: partition the hot sub-CSR across the Kg
     clique members (cache_impl.cuh:89-101 + graph_storage.cu:76-111).
 
@@ -206,7 +214,9 @@ def build_clique_topo(topo_order: np.ndarray, group_capacity: int,
     iff i % Kg == j, stored at local row i // Kg. Per-member shards are
     padded to a common edge budget so they stack into one sharded array.
 
-    Returns (row_map [V] int32 global slots or -1,
+    Returns (row_map: [V] int32 global slots or -1 (map_impl="direct"),
+                 or a HashMap32 (~32B per cached vertex, billion-vertex
+                 safe — "hash"),
              member_pairs [Kg, R, 2] (start, degree) in the member's local
                  edge space,
              member_indices2d [Kg, Eb//window, window] int32 (-1 pad),
@@ -217,8 +227,12 @@ def build_clique_topo(topo_order: np.ndarray, group_capacity: int,
     C = (group_capacity // Kg) * Kg
     R = max(C // Kg, 1)
     hot = np.asarray(topo_order[:C], np.int64)
-    row_map = np.full(V, -1, np.int32)
-    row_map[hot] = np.arange(C, dtype=np.int32)
+    if map_impl == "hash":
+        from legion_tpu.cache.hashmap import HashMap32
+        row_map = HashMap32.build(hot, np.arange(C, dtype=np.int32))
+    else:
+        row_map = np.full(V, -1, np.int32)
+        row_map[hot] = np.arange(C, dtype=np.int32)
 
     deg_all = (host_indptr[1:] - host_indptr[:-1]).astype(np.int64)
     # per-member edge budget = max over members, rounded to the window
@@ -269,18 +283,21 @@ class CliqueTopoCache:
     member's shard.
     """
 
-    def __init__(self, row_map: jax.Array, member_pairs: jax.Array,
+    def __init__(self, row_map, member_pairs: jax.Array,
                  member_indices2d: jax.Array, fallback,
                  group_size: int, axis_name: str = "member",
                  request_slack: float = 1.5):
-        self.row_map = row_map              # [V] int32 global topo slots
+        # id -> global topo slot: [V] int32 table or HashMap32
+        self.row_map = row_map
         self.member_pairs = member_pairs    # [R, 2] this member's rows
         self.member_indices2d = member_indices2d  # [Eb//W, W]
         self.fallback = fallback
         self.Kg = group_size
         self.axis = axis_name
         self.slack = request_slack
-        self.num_nodes = int(row_map.shape[0])
+        self.num_nodes = getattr(fallback, "num_nodes",
+                                 int(getattr(row_map, "shape",
+                                             (2 ** 31 - 1,))[0]))
 
     def tree_flatten(self):
         return ((self.row_map, self.member_pairs, self.member_indices2d,
@@ -341,14 +358,12 @@ class CliqueTopoCache:
                ) -> Tuple[jax.Array, jax.Array]:
         """Collective-only draws: returns (nbr [fanout*F] int32 in
         fanout-major lane order with -1 on miss lanes, served [F] bool)."""
+        from legion_tpu.cache.hashmap import map_lookup
         F = frontier.shape[0]
         Kg = self.Kg
         R_req = int(-(-F * self.slack // Kg))
-        V = self.num_nodes
 
-        fvalid = frontier >= 0
-        slot = jnp.where(fvalid,
-                         self.row_map[jnp.clip(frontier, 0, V - 1)], -1)
+        slot = map_lookup(self.row_map, frontier)
         hit = slot >= 0
         owner = jnp.where(hit, (slot % Kg).astype(jnp.int32), Kg)
         local = jnp.where(hit, (slot // Kg).astype(jnp.int32), -1)

@@ -120,3 +120,14 @@ class HashMap32:
         # sentinel "table length" for clip-style callers: hash lookups
         # clip internally, so expose a huge virtual length
         return (2 ** 31 - 1,)
+
+
+def map_lookup(m, ids: jax.Array) -> jax.Array:
+    """id -> value through either map implementation: a direct [V] int32
+    table (-1-pad-safe clip+mask gather) or a HashMap32. Lets the clique
+    caches swap their replicated [V] tables for the ~32B/cached-vertex
+    hash at billion-vertex scale (CacheConfig.map_impl; the BGHT role,
+    reference cache.cu:71-88)."""
+    if isinstance(m, HashMap32):
+        return m.lookup(ids)
+    return jnp.where(ids >= 0, m[jnp.clip(ids, 0, m.shape[0] - 1)], -1)

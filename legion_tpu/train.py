@@ -414,19 +414,26 @@ class Trainer:
         from legion_tpu.utils.layout import put_row_major
         mesh = self.mesh
         V = self.dataset.meta.num_nodes
+        # billion-vertex graphs swap the replicated [V] id->slot tables
+        # for HashMap32 (~32B per CACHED vertex; at uk2014 scale the two
+        # direct tables alone would cost 6.3GB HBM per chip)
+        map_impl = self.config.cache.resolve_map_impl(V)
 
         # --- topology residency ---
         if topo_host and Kg > 1 and plan.topo_capacity >= Kg:
             W = scfg.neighbor_window or 64
             row_map, mp, mi2, _ = build_clique_topo(
                 np.asarray(plan.topo_order), plan.topo_capacity,
-                host_indptr, host_indices, Kg, window=W)
+                host_indptr, host_indices, Kg, window=W,
+                map_impl=map_impl)
             self.topo_pairs = jax.device_put(
                 mp, NamedSharding(mesh, P("member", None, None)))
             self.topo_blocks = jax.device_put(
                 mi2, NamedSharding(mesh, P("member", None, None)))
+            if map_impl != "hash":
+                row_map = jnp.asarray(row_map)
             self.graph_access = CliqueTopoCache(
-                jax.device_put(jnp.asarray(row_map), rep), None, None,
+                jax.device_put(row_map, rep), None, None,
                 HostFallbackAccess(host_indptr, host_indices), Kg)
             self._use_clique_topo = True
         elif topo_host:
@@ -451,12 +458,15 @@ class Trainer:
             # axis (degenerates to a per-device cache at Kg == 1)
             slot_map, member_rows, R = build_clique_cache(
                 np.asarray(plan.feature_order), plan.feature_capacity,
-                host_feats, Kg, feat_dtype=self._feat_dtype)
+                host_feats, Kg, feat_dtype=self._feat_dtype,
+                map_impl=map_impl)
             self.member_rows = jax.device_put(
                 member_rows,
                 NamedSharding(mesh, P("member", None, None)))
+            if map_impl != "hash":
+                slot_map = jnp.asarray(slot_map)
             self.feature_source = CliqueFeatureCache(
-                jax.device_put(jnp.asarray(slot_map), rep), host_feats,
+                jax.device_put(slot_map, rep), host_feats,
                 Kg, R)
             self._use_clique = True
             transfer = self.config.cache.host_transfer
@@ -533,6 +543,7 @@ class Trainer:
         replays the lookup's exact per-owner budget rule
         (collective._bucket_by_owner: lanes past R_req per owner fall back
         to the host path)."""
+        from legion_tpu.cache.hashmap import map_lookup
         sampler = sampler or self.sampler_t
         L = sampler.config.num_hops
         row_map = getattr(access, "row_map", None)
@@ -542,8 +553,7 @@ class Trainer:
         total = jnp.sum(pvalid, dtype=jnp.int32)
         if row_map is None:
             return total, total    # all HBM-resident
-        V = row_map.shape[0]
-        rm = jnp.where(pvalid, row_map[jnp.clip(prefix, 0, V - 1)], -1)
+        rm = map_lookup(row_map, prefix)
         hits = jnp.sum(rm >= 0, dtype=jnp.int32)
         Kg = getattr(access, "Kg", 1)
         slack = getattr(access, "slack", None)
@@ -555,8 +565,7 @@ class Trainer:
                 R_req = int(-(-F_k * slack // Kg))
                 fr = jax.lax.dynamic_slice(
                     batch.node_ids, (batch.hop_offsets[k],), (F_k,))
-                rmk = jnp.where(fr >= 0,
-                                row_map[jnp.clip(fr, 0, V - 1)], -1)
+                rmk = map_lookup(row_map, fr)
                 owner = jnp.where(rmk >= 0, rmk % Kg, Kg)
                 cnt = jnp.sum(owner[:, None] ==
                               jnp.arange(Kg, dtype=jnp.int32)[None, :],

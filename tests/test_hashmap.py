@@ -56,6 +56,57 @@ def test_hashmap_staged_training_matches_direct(small_dataset):
     th.close()
 
 
+def test_hashmap_clique_training_matches_direct(small_dataset):
+    """Multi-device clique caches (feature AND topology) with HashMap32
+    id->slot maps must produce the exact losses of the direct [V]
+    tables — closing the round-3 billion-vertex hole where the clique
+    slot_map/row_map were still replicated [V] int32."""
+    from legion_tpu.config import (CacheConfig, LegionConfig, MeshConfig,
+                                   SamplerConfig, TrainConfig)
+    from legion_tpu.train import Trainer
+
+    def _cfg(impl):
+        return LegionConfig(
+            dataset=small_dataset.meta,
+            sampler=SamplerConfig(fanouts=(5, 3), batch_size=16,
+                                  eval_batch_size=32, dedup="sort",
+                                  neighbor_window=8),
+            cache=CacheConfig(cache_bytes=200_000,
+                              feature_residency="host",
+                              topo_residency="host", presample_steps=2,
+                              host_transfer="callback", map_impl=impl),
+            train=TrainConfig(model="graphsage", hidden_dim=16, epochs=1,
+                              seed=3, compute_dtype="float32"),
+            mesh=MeshConfig.for_devices(4, clique_size=4))
+
+    td = Trainer(small_dataset, _cfg("direct"))
+    th = Trainer(small_dataset, _cfg("hash"))
+    from legion_tpu.cache.hashmap import HashMap32
+    assert isinstance(th.feature_source.slot_map, HashMap32)
+    assert isinstance(th.graph_access.row_map, HashMap32)
+    sd, sh = td.init_state(), th.init_state()
+    for _ in range(3):
+        sd, ld = td.train_step(sd)
+        sh, lh = th.train_step(sh)
+        np.testing.assert_allclose(float(ld), float(lh), rtol=1e-6)
+
+
+def test_hashmap_clique_sizing_uk2014():
+    """The multi-device clique config at uk2014 scale: per-chip lookup
+    state with hash maps is O(cached) for BOTH clique maps, vs 6.3GB of
+    replicated direct tables."""
+    V = 787_801_471
+    feat_cached = 30_000_000
+    topo_cached = 10_000_000
+    m = HashMap32.build(np.arange(100_000, dtype=np.int64),
+                        np.arange(100_000, dtype=np.int32))
+    bpe = m.hbm_bytes / 100_000
+    clique_maps_bytes = bpe * (feat_cached + topo_cached)
+    direct_bytes = V * 4 * 2
+    assert clique_maps_bytes < 2.6e9
+    assert clique_maps_bytes < direct_bytes / 2
+
+
 def test_billion_vertex_lookup_state_fits():
     """uk2014 (0.79B vertices, BASELINE.md): per-replica lookup state must
     fit a 16GB chip alongside the cache payload. Direct tables alone cost
