@@ -101,6 +101,32 @@ class LegionDataset:
         return ids[self.partition_of(ids, partition_count) == part]
 
 
+def infer_meta(path: str, batch_size: int = 8000, cache_bytes: int = 0,
+               epochs: int = 1, name: str = "custom") -> DatasetMeta:
+    """Build a DatasetMeta for a Legion-format directory by probing the
+    files themselves: V from edge_src bytes, E from edge_dst, feat dim
+    from features/V, set sizes from the seed files, classes from a label
+    scan. Lets the launcher run ANY converted dataset (e.g. tools/prepare
+    ogb output) without a hardcoded entry in KNOWN_DATASETS — the
+    reference requires editing three scripts per new dataset
+    (legion_server.py:41-91)."""
+    f = lambda k: os.path.join(path, FILE_NAMES[k])
+    sz = lambda k: os.path.getsize(f(k))
+    V = sz("indptr") // 8 - 1
+    E = sz("indices") // 4
+    F = sz("features") // (4 * V)
+    assert F * 4 * V == sz("features"), (
+        f"features size {sz('features')} not divisible by V={V} rows")
+    labels = _mmap(f("labels"), np.int32)
+    num_classes = int(labels.max()) + 1
+    return DatasetMeta(
+        path=path, batch_size=batch_size, num_nodes=V, num_edges=E,
+        feature_dim=F, train_size=sz("train") // 4,
+        valid_size=sz("valid") // 4, test_size=sz("test") // 4,
+        cache_bytes=cache_bytes, epochs=epochs,
+        num_classes=num_classes, name=name)
+
+
 def write_legion_dataset(path: str, graph: CSRGraph, features: np.ndarray,
                          labels: np.ndarray, train_ids: np.ndarray,
                          valid_ids: np.ndarray, test_ids: np.ndarray,

@@ -26,10 +26,19 @@ def build_config(args):
     if args.dataset_name in ("synthetic",):
         meta = None
     else:
-        meta = DatasetMeta.known(
-            args.dataset_name, path=args.dataset_path,
-            batch_size=args.train_batch_size,
-            cache_bytes=args.cache_memory, epochs=args.epoch)
+        if args.dataset_name == "custom":
+            # any Legion-format directory (e.g. tools/prepare output):
+            # shapes probed from the files themselves
+            from legion_tpu.data.format import infer_meta
+            meta = infer_meta(args.dataset_path,
+                              batch_size=args.train_batch_size,
+                              cache_bytes=args.cache_memory,
+                              epochs=args.epoch)
+        else:
+            meta = DatasetMeta.known(
+                args.dataset_name, path=args.dataset_path,
+                batch_size=args.train_batch_size,
+                cache_bytes=args.cache_memory, epochs=args.epoch)
         if args.write_meta_config:
             meta.to_meta_config()  # reference-compatible artifact
 

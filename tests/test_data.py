@@ -64,6 +64,26 @@ def test_dataset_write_load_roundtrip(tmp_path, small_dataset):
     assert np.all(part[s0] == 0)
 
 
+def test_infer_meta_from_dir(tmp_path, small_dataset):
+    """infer_meta probes a Legion-format directory and reconstructs the
+    exact DatasetMeta shapes — the launcher's --dataset-name custom path."""
+    from legion_tpu.data.format import infer_meta
+    ds = small_dataset
+    path = str(tmp_path / "probe")
+    write_legion_dataset(path, ds.graph, ds.features, ds.labels,
+                         ds.train_ids, ds.valid_ids, ds.test_ids)
+    m = infer_meta(path, batch_size=64)
+    assert m.num_nodes == ds.meta.num_nodes
+    assert m.num_edges == ds.meta.num_edges
+    assert m.feature_dim == ds.meta.feature_dim
+    assert m.train_size == len(ds.train_ids)
+    assert m.valid_size == len(ds.valid_ids)
+    assert m.test_size == len(ds.test_ids)
+    assert m.num_classes == ds.meta.num_classes
+    back = LegionDataset.load(m)
+    np.testing.assert_array_equal(back.train_ids, ds.train_ids)
+
+
 def test_synthetic_learnable_structure(small_dataset):
     ds = small_dataset
     # power-law in-degree: top 1% of vertices receive a large share of edges
