@@ -68,26 +68,23 @@ def main():
     from legion_tpu.train import Trainer
 
     t_setup = time.time()
-    ds = synthesize_device_dataset(
-        num_nodes=args.nodes, num_edges=args.edges,
-        feature_dim=args.feature_dim, batch_size=args.batch)
-    jax.block_until_ready(ds.features)
     if args.features == "host":
-        # pull the synthetic graph to host RAM: host features become the
-        # authoritative store (the reference's pinned-UVA analog)
-        from legion_tpu.data.format import LegionDataset
-        from legion_tpu.graph import CSRGraph
-        csr_d, feats_d, labels_d = ds.device_arrays()
-        graph = CSRGraph(indptr=np.asarray(csr_d.indptr, np.int64),
-                         indices=np.asarray(csr_d.indices, np.int32))
-        tr, va, te = ds.seed_sets(1)
-        ds = LegionDataset(
-            meta=ds.meta, graph=graph,
-            features=np.asarray(feats_d, np.float32),
-            labels=np.asarray(labels_d, np.int32),
-            train_ids=np.asarray(tr[0]), valid_ids=np.asarray(va[0]),
-            test_ids=np.asarray(te[0]))
-        del csr_d, feats_d, labels_d
+        # host RAM is the authoritative store (the reference's pinned-UVA
+        # analog) — generate the dataset HOST-side. (The earlier
+        # device-generate-then-copy-back approach moved ~1.4GB over the
+        # tunneled D2H link and never finished inside the bench budget —
+        # the reason no host-mode number was recorded in rounds 1-3.)
+        from legion_tpu.data import synthesize_dataset
+        ds = synthesize_dataset(
+            num_nodes=args.nodes,
+            avg_degree=max(args.edges // args.nodes, 1),
+            feature_dim=args.feature_dim, num_classes=32,
+            batch_size=args.batch, train_frac=0.08, seed=0)
+    else:
+        ds = synthesize_device_dataset(
+            num_nodes=args.nodes, num_edges=args.edges,
+            feature_dim=args.feature_dim, batch_size=args.batch)
+        jax.block_until_ready(ds.features)
     gen_s = time.time() - t_setup
 
     # lp_sage batches are (anchor, pos, neg) thirds
