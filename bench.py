@@ -98,13 +98,13 @@ def main():
                               eval_batch_size=eval_bs,
                               dedup=args.dedup,
                               neighbor_window=args.window,
-                              # gcn: block-degree parity needs dedup;
-                              # gat: aligned mode would materialize
-                              # per-head projections for every duplicate
-                              # lane (heads x hidden wide)
+                              # gcn's block out-degree normalization needs
+                              # exact node dedup; graphsage/gat/lp_sage
+                              # aggregate the same multiset either way
+                              # (tests/test_aligned.py model invariants),
+                              # so they take the lane-aligned fast path
                               dedup_last_hop=(args.exact_dedup
-                                              or args.model in
-                                              ("gcn", "gat"))),
+                                              or args.model == "gcn")),
         cache=CacheConfig(
             presample_steps=4,
             cache_bytes=args.cache_mem if args.features == "host" else 0,

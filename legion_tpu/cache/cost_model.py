@@ -42,17 +42,19 @@ class CostModelResult:
     est_topo_saved_bytes: float
 
 
-@partial(jax.jit, static_argnums=(3,))
 def _order_and_prefix(node_access, edge_access, degrees, feat_row_bytes):
-    V = node_access.shape[0]
-    qf = jnp.argsort(-node_access.astype(jnp.int64))
-    qt = jnp.argsort(-edge_access.astype(jnp.int64))
-    feat_saved = jnp.cumsum(node_access[qf].astype(jnp.float64)) \
-        * feat_row_bytes
-    row_bytes = 8.0 + 4.0 * degrees.astype(jnp.float64)
-    topo_saved = jnp.cumsum(edge_access[qt].astype(jnp.float64)
-                            * row_bytes[qt])
-    topo_bytes = jnp.cumsum(row_bytes[qt])
+    # HOST NumPy on purpose: this runs ONCE at setup on [V] arrays, and a
+    # jitted TPU version costs a multi-minute fresh compile on tunneled
+    # runtimes for work CPU argsort/cumsum does in milliseconds
+    na = np.asarray(node_access)
+    ea = np.asarray(edge_access)
+    deg = np.asarray(degrees)
+    qf = np.argsort(-na.astype(np.int64), kind="stable")
+    qt = np.argsort(-ea.astype(np.int64), kind="stable")
+    feat_saved = np.cumsum(na[qf].astype(np.float64)) * feat_row_bytes
+    row_bytes = 8.0 + 4.0 * deg.astype(np.float64)
+    topo_saved = np.cumsum(ea[qt].astype(np.float64) * row_bytes[qt])
+    topo_bytes = np.cumsum(row_bytes[qt])
     return qf, qt, feat_saved, topo_saved, topo_bytes
 
 
