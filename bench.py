@@ -99,12 +99,16 @@ def main():
                               dedup=args.dedup,
                               neighbor_window=args.window,
                               # gcn's block out-degree normalization needs
-                              # exact node dedup; graphsage/gat/lp_sage
-                              # aggregate the same multiset either way
-                              # (tests/test_aligned.py model invariants),
-                              # so they take the lane-aligned fast path
+                              # exact node dedup. gat is multiset-invariant
+                              # (tests/test_aligned.py) but the aligned
+                              # last hop materializes 8-head x hidden
+                              # projections PER LANE — measured 34.1G HBM
+                              # at products scale vs the chip's 15.75G —
+                              # so it also dedups. graphsage/lp_sage take
+                              # the lane-aligned fast path.
                               dedup_last_hop=(args.exact_dedup
-                                              or args.model == "gcn")),
+                                              or args.model in
+                                              ("gcn", "gat"))),
         cache=CacheConfig(
             presample_steps=4,
             cache_bytes=args.cache_mem if args.features == "host" else 0,

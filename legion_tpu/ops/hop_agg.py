@@ -83,13 +83,23 @@ def hop_neighbor_mean(h_src: jax.Array, src_l: jax.Array, fanout: int,
     return s / jnp.maximum(c, 1)[:, None]
 
 
+# above this many edge-message elements (fanout * F * H * d) the dense
+# [fanout, F, H, d] materialization is replaced by a fanout-chunked scan:
+# the full tensor costs ~8.4GB f32 at products-scale GAT (measured 34.1G
+# program HBM with backward temps vs the chip's 15.75G), while DGL's fused
+# u_mul_e SpMM never materializes it — the scan is the XLA equivalent,
+# peaking at one [F, H, d] slice per step.
+_ATTN_DENSE_LIMIT = 64 * 1024 * 1024
+
+
 def hop_softmax_attention(z: jax.Array, scores: jax.Array,
                           src_l: jax.Array, fanout: int, offset: jax.Array,
                           num_dst: int, attn_drop: float = 0.0,
                           train: bool = False,
                           rng: Optional[jax.Array] = None,
-                          aligned_offset: Optional[int] = None) -> jax.Array:
-    """GAT-style per-dst softmax + weighted sum, densely per frontier row.
+                          aligned_offset: Optional[int] = None,
+                          dense_limit: Optional[int] = None) -> jax.Array:
+    """GAT-style per-dst softmax + weighted sum over the frontier rows.
 
     z: [N_src, H, d] projected features; scores: [fanout, F, H] edge scores
     (already LeakyReLU'd, fanout-major). Returns [num_dst, H, d].
@@ -97,6 +107,7 @@ def hop_softmax_attention(z: jax.Array, scores: jax.Array,
     from legion_tpu.models.common import dropout
     E = src_l.shape[0]
     F = E // fanout
+    H, d = z.shape[1], z.shape[2]
     valid = (src_l >= 0).reshape(fanout, F)
     neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
     s = jnp.where(valid[..., None], scores, neg)
@@ -108,11 +119,34 @@ def hop_softmax_attention(z: jax.Array, scores: jax.Array,
     alpha = e / denom                                    # [fanout, F, H]
     alpha = dropout(alpha, attn_drop, rng, train)
     z2 = z.reshape(z.shape[0], -1)
-    if aligned_offset is not None:
-        zs = jax.lax.slice(z2, (aligned_offset, 0),
-                           (aligned_offset + src_l.shape[0], z2.shape[1]))
-    else:
-        zs = gather_rows(z2, src_l)
-    zs = zs.reshape(fanout, F, z.shape[1], z.shape[2])   # [fo, F, H, d]
-    out = jnp.sum(alpha[..., None] * zs, axis=0)         # [F, H, d]
-    return place_rows(out, offset, num_dst)
+    limit = _ATTN_DENSE_LIMIT if dense_limit is None else dense_limit
+
+    if E * H * d <= limit:
+        if aligned_offset is not None:
+            zs = jax.lax.slice(z2, (aligned_offset, 0),
+                               (aligned_offset + E, z2.shape[1]))
+        else:
+            zs = gather_rows(z2, src_l)
+        zs = zs.reshape(fanout, F, H, d)                 # [fo, F, H, d]
+        out = jnp.sum(alpha[..., None] * zs, axis=0)     # [F, H, d]
+        return place_rows(out, offset, num_dst)
+
+    # fanout-chunked accumulation: invalid lanes carry alpha == 0, so the
+    # clipped gather rows they read contribute nothing
+    def body(acc, inputs):
+        alpha_f, src_f, f = inputs
+        if aligned_offset is not None:
+            zf = jax.lax.dynamic_slice(
+                z2, (aligned_offset + f * F, 0), (F, z2.shape[1]))
+        else:
+            zf = gather_rows(z2, src_f)
+        acc = acc + alpha_f[..., None] * zf.reshape(F, H, d).astype(
+            acc.dtype)
+        return acc, None
+
+    acc0 = jnp.zeros((F, H, d), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (alpha.astype(jnp.float32), src_l.reshape(fanout, F),
+         jnp.arange(fanout, dtype=jnp.int32)))
+    return place_rows(acc.astype(z.dtype), offset, num_dst)

@@ -52,11 +52,13 @@ def build_config(args):
                               auto_compact=not args.no_compact,
                               dedup=args.dedup,
                               neighbor_window=args.window,
-                              # gcn's block-degree normalization needs
-                              # exact dedup; other models are multiset-
-                              # invariant (tests/test_aligned.py)
+                              # gcn needs exact dedup (block-degree
+                              # normalization); gat dedups to bound the
+                              # per-lane multi-head projection memory
+                              # (see bench.py)
                               dedup_last_hop=(args.exact_dedup
-                                              or args.model == "gcn")),
+                                              or args.model in
+                                              ("gcn", "gat"))),
         cache=CacheConfig(
             cache_bytes=args.cache_memory,
             feature_residency="host" if cache_enabled else "hbm",

@@ -120,6 +120,26 @@ def test_gcn_parity(sampled):
                                atol=2e-5)
 
 
+def test_gat_chunked_attention_matches_dense(sampled):
+    """The fanout-chunked attention scan (the memory-bounded path that
+    replaces the [fanout, F, H, d] materialization at products-scale GAT)
+    must match the dense path exactly."""
+    from legion_tpu.ops import hop_agg
+    ds, cfg, batch, feats = sampled
+    model = GAT(cfg, in_dim=12, hidden_dim=4, num_classes=5, heads=(2, 1),
+                feat_drop=0.0, attn_drop=0.0)
+    params = model.init(jax.random.PRNGKey(3))
+    dense = np.asarray(model.apply(params, jnp.asarray(feats), batch))
+    orig = hop_agg._ATTN_DENSE_LIMIT
+    try:
+        hop_agg._ATTN_DENSE_LIMIT = 0      # force the scan path
+        chunked = np.asarray(model.apply(params, jnp.asarray(feats),
+                                         batch))
+    finally:
+        hop_agg._ATTN_DENSE_LIMIT = orig
+    np.testing.assert_allclose(dense, chunked, rtol=2e-5, atol=2e-5)
+
+
 def test_gat_parity(sampled):
     ds, cfg, batch, feats = sampled
     model = GAT(cfg, in_dim=12, hidden_dim=4, num_classes=5, heads=(2, 1),
