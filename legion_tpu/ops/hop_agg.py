@@ -144,7 +144,10 @@ def hop_softmax_attention(z: jax.Array, scores: jax.Array,
             acc.dtype)
         return acc, None
 
-    acc0 = jnp.zeros((F, H, d), jnp.float32)
+    # derive the zero init from alpha so its varying-axes type matches the
+    # body output under shard_map (scan carries must agree in manual axes)
+    acc0 = jnp.zeros((F, H, d), jnp.float32) \
+        + alpha.astype(jnp.float32)[0, :, :, None] * 0
     acc, _ = jax.lax.scan(
         body, acc0,
         (alpha.astype(jnp.float32), src_l.reshape(fanout, F),
