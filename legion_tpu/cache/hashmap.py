@@ -107,7 +107,10 @@ class HashMap32:
             vrow = self.vals[b]
             m = krow == ids[:, None]
             hit = jnp.any(m, axis=1)
-            val = jnp.sum(jnp.where(m, vrow, 0), axis=1)
+            # dtype pinned: with jax_enable_x64 the default sum dtype
+            # promotes to int64, breaking the int32 contract downstream
+            # (int64 slots reaching int32 scatters in collective.py)
+            val = jnp.sum(jnp.where(m, vrow, 0), axis=1, dtype=jnp.int32)
             out = jnp.where((out < 0) & hit, val, out)
         return jnp.where(ids >= 0, out, -1)
 

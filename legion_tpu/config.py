@@ -217,9 +217,10 @@ class CacheConfig:
     """Hotness cache (reference: src/cache/cache.cu, system_config.cuh:56)."""
 
     cache_bytes: int = 0
-    # log2 of the cache-aggregation group size Kg (reference cache_agg_mode,
-    # legion_server.py:100-106); group_size = 2 ** agg_mode.
-    agg_mode: int = 0
+    # NOTE: the cache-aggregation group size Kg (reference cache_agg_mode,
+    # legion_server.py:100-106) is NOT configured here — it is the mesh's
+    # "member" axis length (MeshConfig.clique_size), the single source of
+    # truth the trainer reads (mesh.shape["member"]).
     # alpha-sweep granularity for the feature/topology split
     # (reference MIN_INTERVAL, cache_impl.cuh:30)
     alpha_step: float = 0.01
@@ -257,10 +258,6 @@ class CacheConfig:
         return self.cache_bytes > 0 and (
             self.feature_residency == "host"
             or self.topo_residency == "host")
-
-    @property
-    def group_size(self) -> int:
-        return 1 << self.agg_mode
 
 
 @dataclass(frozen=True)

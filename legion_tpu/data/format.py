@@ -102,7 +102,8 @@ class LegionDataset:
 
 
 def infer_meta(path: str, batch_size: int = 8000, cache_bytes: int = 0,
-               epochs: int = 1, name: str = "custom") -> DatasetMeta:
+               epochs: int = 1, name: str = "custom",
+               num_classes: Optional[int] = None) -> DatasetMeta:
     """Build a DatasetMeta for a Legion-format directory by probing the
     files themselves: V from edge_src bytes, E from edge_dst, feat dim
     from features/V, set sizes from the seed files, classes from a label
@@ -117,8 +118,19 @@ def infer_meta(path: str, batch_size: int = 8000, cache_bytes: int = 0,
     F = sz("features") // (4 * V)
     assert F * 4 * V == sz("features"), (
         f"features size {sz('features')} not divisible by V={V} rows")
-    labels = _mmap(f("labels"), np.int32)
-    num_classes = int(labels.max()) + 1
+    if num_classes is None:
+        # Restrict the class scan to seed vertices: converters commonly
+        # leave sentinel/garbage label values on unlabeled (non-seed)
+        # vertices, which would silently inflate num_classes and the
+        # classifier head (advisor round 4). Negative labels are ignored.
+        labels = _mmap(f("labels"), np.int32)
+        seed_ids = np.concatenate([
+            np.asarray(_mmap(f(k), np.int32)) for k in
+            ("train", "valid", "test")])
+        seed_labels = labels[seed_ids] if len(seed_ids) else labels
+        seed_labels = seed_labels[seed_labels >= 0]
+        assert len(seed_labels), f"no non-negative seed labels under {path}"
+        num_classes = int(seed_labels.max()) + 1
     return DatasetMeta(
         path=path, batch_size=batch_size, num_nodes=V, num_edges=E,
         feature_dim=F, train_size=sz("train") // 4,
