@@ -44,6 +44,14 @@ def main():
     ap.add_argument("--exact-dedup", action="store_true")
     # block-windowed neighbor draws (0 = exact per-slot independent draws)
     ap.add_argument("--window", type=int, default=64)
+    # measured-cap headroom over the presampled per-hop max unique nodes.
+    # The reference uses 1.2x (server.cu:277); with 8 presample probes the
+    # max estimate is tight enough for 1.03x, which shrinks every
+    # downstream buffer ~6% (measured r5: 20.0 -> 18.9 ms/step, zero
+    # dropped edges on the measured batch). Overflowing batches drop the
+    # excess nodes (masked) — visible as node_slots dipping.
+    ap.add_argument("--headroom", type=float, default=1.03)
+    ap.add_argument("--presample", type=int, default=8)
     # feature residency: hbm = all features on chip (in-memory mode);
     # host = authoritative features in host RAM + hotness-driven HBM cache
     # (Legion's core scenario for graphs whose features exceed device
@@ -97,6 +105,7 @@ def main():
                               batch_size=args.batch, auto_compact=True,
                               eval_batch_size=eval_bs,
                               dedup=args.dedup,
+                              cap_headroom=args.headroom,
                               neighbor_window=args.window,
                               # gcn's block out-degree normalization needs
                               # exact node dedup. gat is multiset-invariant
@@ -110,7 +119,7 @@ def main():
                                               or args.model in
                                               ("gcn", "gat"))),
         cache=CacheConfig(
-            presample_steps=4,
+            presample_steps=args.presample,
             cache_bytes=args.cache_mem if args.features == "host" else 0,
             feature_residency=args.features),
         train=TrainConfig(model=args.model, hidden_dim=args.hidden,

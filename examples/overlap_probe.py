@@ -21,15 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, n=10, warmup=3):
-    import jax
-    out = None
+    # value fetch, not block_until_ready: on tunneled runtimes the latter
+    # returns before the device queue drains (see bench.py)
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(out)
     return (time.time() - t0) / n
 
 
@@ -40,15 +40,22 @@ def main():
 
     N = 1_136_512
     M = 340_000
+    # T_big needs only to sit in the >128MB slow-gather regime (the curve
+    # is flat 146MB-586MB, gather_curve.py), so 800k rows (195MB) keeps
+    # the tunnel transfer tolerable; tables go up as bf16 bytes directly
+    import ml_dtypes
     rng = np.random.default_rng(0)
-    T_big = put_row_major(jnp.asarray(
-        rng.standard_normal((2_400_000, 128)), jnp.bfloat16))   # 586MB HBM
-    T_fast = put_row_major(jnp.asarray(
-        rng.standard_normal((430_000, 128)), jnp.bfloat16))     # 105MB
-    ids_big = jnp.asarray(rng.integers(0, 2_400_000, M).astype(np.int32))
+    mk = lambda r: put_row_major(jnp.asarray(
+        rng.standard_normal((r, 128)).astype(ml_dtypes.bfloat16)))
+    R_BIG = 800_000
+    T_big = mk(R_BIG)                                           # 195MB HBM
+    T_fast = mk(430_000)                                        # 105MB
+    ids_big = jnp.asarray(rng.integers(0, R_BIG, M).astype(np.int32))
     ids_fast = jnp.asarray(rng.integers(0, 430_000, N).astype(np.int32))
     sort_keys = jnp.asarray(rng.integers(0, 2 ** 30, N).astype(np.int32))
     lanes = jnp.arange(N, dtype=jnp.int32)
+    jax.block_until_ready(T_fast)
+    print("tables placed", flush=True)
 
     f_fast = jax.jit(lambda t, i: t[i].astype(jnp.float32).sum())
     f_big = jax.jit(lambda t, i: t[i].astype(jnp.float32).sum())
@@ -58,26 +65,40 @@ def main():
         lambda k: jnp.cumsum((k > 2 ** 29).astype(jnp.int32))[-1])
 
     out = {}
-    out["fast_gather_ms"] = round(timeit(f_fast, T_fast, ids_fast) * 1e3, 2)
-    out["big_gather_missfetch_ms"] = round(
-        timeit(f_big, T_big, ids_big) * 1e3, 2)
-    out["sort_ms"] = round(timeit(f_sort, sort_keys, lanes) * 1e3, 2)
-    out["cumsum_ms"] = round(timeit(f_cumsum, sort_keys) * 1e3, 2)
 
+    def rec(name, fn, *args):
+        out[name] = round(timeit(fn, *args) * 1e3, 2)
+        print(f"{name}: {out[name]}", flush=True)
+
+    rec("fast_gather_ms", f_fast, T_fast, ids_fast)
+    rec("big_gather_missfetch_ms", f_big, T_big, ids_big)
+    rec("sort_ms", f_sort, sort_keys, lanes)
+    rec("cumsum_ms", f_cumsum, sort_keys)
+
+    # operands passed as ARGUMENTS: closing over a 195MB table bakes it
+    # into the HLO as a constant and the compile never finishes
+    g2 = lambda t, i: t[i].astype(jnp.float32).sum()
+    srt = lambda k, l: jax.lax.sort_key_val(k, l)[1].astype(
+        jnp.float32).sum()
     pairs = {
-        "fast+big": jax.jit(lambda: f_fast(T_fast, ids_fast)
-                            + f_big(T_big, ids_big)),
-        "fast+sort": jax.jit(lambda: f_fast(T_fast, ids_fast)
-                             + f_sort(sort_keys, lanes)),
-        "big+sort": jax.jit(lambda: f_big(T_big, ids_big)
-                            + f_sort(sort_keys, lanes)),
+        "fast+big": jax.jit(lambda tf, idf, tb, idb:
+                            g2(tf, idf) + g2(tb, idb)),
+        "big+sort": jax.jit(lambda tb, idb, k, l:
+                            g2(tb, idb) + srt(k, l)),
         "fast+big+sort+cumsum": jax.jit(
-            lambda: f_fast(T_fast, ids_fast) + f_big(T_big, ids_big)
-            + f_sort(sort_keys, lanes)
-            + f_cumsum(sort_keys).astype(jnp.float32)),
+            lambda tf, idf, tb, idb, k, l:
+            g2(tf, idf) + g2(tb, idb) + srt(k, l)
+            + jnp.cumsum((k > 2 ** 29).astype(jnp.int32))[-1].astype(
+                jnp.float32)),
+    }
+    pair_args = {
+        "fast+big": (T_fast, ids_fast, T_big, ids_big),
+        "big+sort": (T_big, ids_big, sort_keys, lanes),
+        "fast+big+sort+cumsum": (T_fast, ids_fast, T_big, ids_big,
+                                 sort_keys, lanes),
     }
     for name, fn in pairs.items():
-        out[f"pair_{name}_ms"] = round(timeit(fn) * 1e3, 2)
+        rec(f"pair_{name}_ms", fn, *pair_args[name])
     print(json.dumps(out, indent=1))
 
 

@@ -142,6 +142,21 @@ class CliqueFeatureCache:
         return native.gather_rows(self.host, np.asarray(ids, np.int32),
                                   dtype=dt)
 
+    def collective_bytes(self, n_ids: int, bytes_per_feat: int = 2
+                         ) -> dict:
+        """Per-device ICI bytes for ONE fetch_cached(ids[n_ids]) call:
+        the all_to_all request (int32 local rows) and response (feature
+        rows) volumes, with the off-chip fraction (Kg-1)/Kg — the
+        measured-bytes analog of the reference's PCM PCIe counters
+        (monitor.cuh role) for the clique collective. Static per step, so
+        accounting is exact without instrumentation."""
+        R_req = int(-(-n_ids * self.slack // self.Kg))
+        req = self.Kg * R_req * 4
+        resp = self.Kg * R_req * self.feat_dim * bytes_per_feat
+        off = (self.Kg - 1) / max(self.Kg, 1)
+        return dict(request_bytes=req, response_bytes=resp,
+                    offchip_bytes=int((req + resp) * off), R_req=R_req)
+
     def fetch_cached(self, ids: jax.Array, member_rows: jax.Array
                      ) -> Tuple[jax.Array, jax.Array]:
         """Collective-only lookup: ids [N] (-1 pad), member_rows [R, F]
@@ -353,6 +368,17 @@ class CliqueTopoCache:
         cand = jnp.sum(jnp.where(sel, blocks[..., None, :], 0), axis=-1,
                        dtype=jnp.int32)
         return jnp.where(ok[..., None], cand, -1)
+
+    def collective_bytes(self, n_frontier: int, fanout: int) -> dict:
+        """Per-device ICI bytes for ONE lookup(frontier[n_frontier]) call:
+        all_to_all row requests (int32) and drawn-neighbor responses
+        (int32 x fanout). See CliqueFeatureCache.collective_bytes."""
+        R_req = int(-(-n_frontier * self.slack // self.Kg))
+        req = self.Kg * R_req * 4
+        resp = self.Kg * R_req * fanout * 4
+        off = (self.Kg - 1) / max(self.Kg, 1)
+        return dict(request_bytes=req, response_bytes=resp,
+                    offchip_bytes=int((req + resp) * off), R_req=R_req)
 
     def lookup(self, frontier: jax.Array, fanout: int, key: jax.Array
                ) -> Tuple[jax.Array, jax.Array]:
