@@ -108,16 +108,13 @@ def main():
                               cap_headroom=args.headroom,
                               neighbor_window=args.window,
                               # gcn's block out-degree normalization needs
-                              # exact node dedup. gat is multiset-invariant
-                              # (tests/test_aligned.py) but the aligned
-                              # last hop materializes 8-head x hidden
-                              # projections PER LANE — measured 34.1G HBM
-                              # at products scale vs the chip's 15.75G —
-                              # so it also dedups. graphsage/lp_sage take
-                              # the lane-aligned fast path.
+                              # exact node dedup; graphsage/gat/lp_sage
+                              # take the lane-aligned fast path (gat via
+                              # the streaming two-pass attention layer,
+                              # models/gat.py — per-chunk MXU recompute
+                              # instead of per-lane z materialization).
                               dedup_last_hop=(args.exact_dedup
-                                              or args.model in
-                                              ("gcn", "gat"))),
+                                              or args.model == "gcn")),
         cache=CacheConfig(
             presample_steps=args.presample,
             cache_bytes=args.cache_mem if args.features == "host" else 0,

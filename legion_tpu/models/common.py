@@ -84,6 +84,17 @@ def dropout(x: jax.Array, rate: float, key: Optional[jax.Array],
         bits = (words[:, :, None] >> shifts[None, None, :]) & 1
         mask = bits.reshape(x.shape) != 0
         return jnp.where(mask, x / keep, 0).astype(x.dtype)
+    if x.ndim >= 2 and x.size >= (1 << 20):
+        # big activations: compare raw u8 bits against a fixed-point
+        # threshold instead of jax.random.bernoulli's uniform-f32 path —
+        # 4x fewer threefry words and no full-shape f32/u32 temps (0.8G
+        # per dropout at products-scale GAT, where they OOM'd the chip).
+        # keep quantizes to 1/256; dividing by the QUANTIZED keep makes
+        # the estimator exactly unbiased at the realized rate.
+        kq = min(max(round(keep * 256), 1), 255)
+        bits = jax.random.bits(key, x.shape, jnp.uint8)
+        return jnp.where(bits < jnp.uint8(kq), x * (256.0 / kq),
+                         0).astype(x.dtype)
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, 0).astype(x.dtype)
 
@@ -113,7 +124,8 @@ def make_model(train_cfg: TrainConfig, sampler_cfg: SamplerConfig,
                    heads=train_cfg.gat_heads,
                    feat_drop=train_cfg.gat_feat_drop,
                    attn_drop=train_cfg.gat_attn_drop,
-                   in_dim_pad=in_dim_pad)
+                   in_dim_pad=in_dim_pad,
+                   compute_dtype=train_cfg.compute_dtype)
     if name == "lp_sage":
         return LinkPredSAGE(sampler_cfg, in_dim, train_cfg.hidden_dim,
                             dropout=train_cfg.dropout,

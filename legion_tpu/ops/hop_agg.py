@@ -132,7 +132,12 @@ def hop_softmax_attention(z: jax.Array, scores: jax.Array,
         return place_rows(out, offset, num_dst)
 
     # fanout-chunked accumulation: invalid lanes carry alpha == 0, so the
-    # clipped gather rows they read contribute nothing
+    # clipped gather rows they read contribute nothing. The body is
+    # rematerialized: without checkpoint the scan saves each chunk's
+    # gathered zf for backward — fanout x [F, H*d] residuals re-assemble
+    # the full edge-message tensor this chunking exists to avoid
+    # (products-scale GAT ran out of HBM at run time, round 5).
+    @jax.checkpoint
     def body(acc, inputs):
         alpha_f, src_f, f = inputs
         if aligned_offset is not None:

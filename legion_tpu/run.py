@@ -53,12 +53,10 @@ def build_config(args):
                               dedup=args.dedup,
                               neighbor_window=args.window,
                               # gcn needs exact dedup (block-degree
-                              # normalization); gat dedups to bound the
-                              # per-lane multi-head projection memory
-                              # (see bench.py)
+                              # normalization); gat runs lane-aligned via
+                              # the streaming attention layer (bench.py)
                               dedup_last_hop=(args.exact_dedup
-                                              or args.model in
-                                              ("gcn", "gat"))),
+                                              or args.model == "gcn")),
         cache=CacheConfig(
             cache_bytes=args.cache_memory,
             feature_residency="host" if cache_enabled else "hbm",
