@@ -151,3 +151,19 @@ def test_pad_feature_dim_exact_equivalence(small_dataset):
         s1, l1 = t1.train_step(s1)
         np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_gat_aligned_streaming_multidev(small_dataset):
+    """GAT's lane-aligned projection-commuted attention under shard_map
+    on a 4-device mesh (round-5 layer, models/gat.py): the commuted
+    einsums and dropout masks must compile and learn inside the manual
+    sharding region (the chunked-scan predecessor hit varying-axes carry
+    mismatches exactly here)."""
+    ds = small_dataset
+    from dataclasses import replace
+    cfg = _config(ds, n_dev=4, epochs=6, model="gat")
+    cfg = replace(cfg, sampler=replace(cfg.sampler, dedup_last_hop=False))
+    trainer = Trainer(ds, cfg)
+    state, stats = trainer.fit(verbose=False)
+    assert np.isfinite(stats[-1].train_loss)
+    assert stats[-1].valid_acc > 0.4, stats
