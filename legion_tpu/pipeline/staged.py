@@ -40,13 +40,9 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from legion_tpu.pipeline.schedule import Mode
-
-
-def _masked_ce(logits, labels, valid):
-    ce = optax.softmax_cross_entropy_with_integer_labels(
-        logits, jnp.maximum(labels, 0))
-    w = valid.astype(logits.dtype)
-    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1)
+# not circular: this module is imported lazily by
+# Trainer._build_staged_steps, after legion_tpu.train finishes loading
+from legion_tpu.train import _masked_ce
 
 
 class StagedHostPipeline:
